@@ -1,0 +1,93 @@
+"""Sharding-aware checkpoint save/restore with resume.
+
+The reference saves best weights once, never optimizer or step state
+(``main.py:147-151``, ``train_ae.py:206-215``), so no run can resume mid-way.
+Here the full :class:`TrainState` pytree (params + moments + step + RNG) is
+persisted as an ``.npz`` plus a JSON manifest of the tree structure; restore
+re-applies any :class:`jax.sharding.NamedSharding` layout via
+``jax.device_put``, so a checkpoint written on one mesh can be loaded onto
+another.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+PyTree = Any
+
+_MANIFEST = "manifest.json"
+_ARRAYS = "arrays.npz"
+
+
+def _flatten(tree: PyTree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return leaves, treedef
+
+
+def save_checkpoint(directory: str, state: PyTree, step: Optional[int] = None,
+                    metadata: Optional[dict] = None) -> str:
+    """Write ``state`` under ``directory/step_<N>`` (or ``directory`` itself
+    when ``step`` is None). Returns the checkpoint path."""
+    path = directory if step is None else os.path.join(directory, f"step_{step:08d}")
+    os.makedirs(path, exist_ok=True)
+
+    leaves, treedef = _flatten(state)
+    host_leaves = [np.asarray(jax.device_get(leaf)) for leaf in leaves]
+    np.savez(os.path.join(path, _ARRAYS), *host_leaves)
+
+    manifest = {
+        "treedef": str(treedef),
+        "num_leaves": len(host_leaves),
+        "dtypes": [str(a.dtype) for a in host_leaves],
+        "shapes": [list(a.shape) for a in host_leaves],
+        "metadata": metadata or {},
+    }
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))  # atomic: manifest last
+    return path
+
+
+def restore_checkpoint(path: str, target: PyTree, shardings: Optional[PyTree] = None) -> PyTree:
+    """Restore into the structure of ``target``.  If ``shardings`` (a pytree of
+    ``jax.sharding.Sharding`` matching ``target``) is given, leaves are placed
+    accordingly; otherwise they stay as host numpy arrays inside the pytree."""
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    with np.load(os.path.join(path, _ARRAYS)) as data:
+        arrays = [data[f"arr_{i}"] for i in range(manifest["num_leaves"])]
+
+    leaves, treedef = _flatten(target)
+    if len(leaves) != len(arrays):
+        raise ValueError(
+            f"checkpoint has {len(arrays)} leaves, target has {len(leaves)}")
+    for a, l in zip(arrays, leaves):
+        if tuple(a.shape) != tuple(np.shape(l)):
+            raise ValueError(f"shape mismatch: checkpoint {a.shape} vs target {np.shape(l)}")
+
+    if shardings is not None:
+        shard_leaves = jax.tree_util.tree_leaves(shardings)
+        arrays = [jax.device_put(a, s) for a, s in zip(arrays, shard_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, arrays)
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    """Most recent complete ``step_*`` checkpoint under ``directory``."""
+    if not os.path.isdir(directory):
+        return None
+    steps = sorted(
+        d for d in os.listdir(directory)
+        if d.startswith("step_") and os.path.exists(os.path.join(directory, d, _MANIFEST))
+    )
+    return os.path.join(directory, steps[-1]) if steps else None
+
+
+def checkpoint_metadata(path: str) -> dict:
+    with open(os.path.join(path, _MANIFEST)) as f:
+        return json.load(f).get("metadata", {})
