@@ -1,0 +1,332 @@
+"""Device-side augmentation and preprocessing ops.
+
+Replaces the reference's host-side albumentations pipelines (``main.py:76-94``
+fusion policies, ``train_ae.py:88-105`` MAE policies, ``save_latent.py:26-30``
+latent policy) with RNG-keyed, jit/vmap-able JAX ops that run batched on TPU.
+Deterministic eval transforms (resize + ImageNet normalize) match the
+reference numerically to interpolation tolerance; stochastic train transforms
+are distributionally equivalent (albumentations' host RNG cannot be replayed).
+
+All per-image ops take float32 [H, W, C] in the 0..255 range and an optional
+mask [H, W]; batch policies vmap them under one jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+# ---------------------------------------------------------------- basic ops
+
+def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """cv2.INTER_LINEAR-equivalent resize (half-pixel centers)."""
+    out_shape = (*out_hw, img.shape[-1]) if img.ndim == 3 else out_hw
+    # antialias=False: cv2.INTER_LINEAR does plain bilinear on downscale too
+    return jax.image.resize(img, out_shape, method="linear", antialias=False)
+
+
+def resize_nearest(mask: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    return jax.image.resize(mask, out_hw, method="nearest")
+
+
+def normalize_imagenet(img: jnp.ndarray,
+                       mean: Tuple[float, ...] = IMAGENET_MEAN,
+                       std: Tuple[float, ...] = IMAGENET_STD) -> jnp.ndarray:
+    """albumentations.Normalize: (img - 255*mean) / (255*std)."""
+    mean = jnp.asarray(mean, img.dtype) * 255.0
+    std = jnp.asarray(std, img.dtype) * 255.0
+    return (img - mean) / std
+
+
+def crop_and_resize(img: jnp.ndarray, y0, x0, crop_h, crop_w,
+                    out_hw: Tuple[int, int], method: str = "linear") -> jnp.ndarray:
+    """Resize an arbitrary (dynamically-positioned/sized) crop window to a
+    static output size in one pass — the TPU-friendly formulation of
+    RandomResizedCrop (no dynamic shapes; one fused scale_and_translate)."""
+    oh, ow = out_hw
+    scale = jnp.stack([oh / crop_h, ow / crop_w]).astype(jnp.float32)
+    translation = jnp.stack([-y0 * scale[0], -x0 * scale[1]]).astype(jnp.float32)
+    return jax.image.scale_and_translate(
+        img, (oh, ow, img.shape[-1]), (0, 1), scale, translation,
+        method=method, antialias=False)
+
+
+# ----------------------------------------------------------- geometric augs
+
+def random_flips_rot90(img: jnp.ndarray, mask: Optional[jnp.ndarray],
+                       key: jax.Array, p: float = 0.5):
+    """HorizontalFlip(p) + VerticalFlip(p) + RandomRotate90(p) applied jointly
+    to image and mask (the reference's shared-transform behavior)."""
+    k_h, k_v, k_r, k_rk = jax.random.split(key, 4)
+    do_h = jax.random.uniform(k_h) < p
+    do_v = jax.random.uniform(k_v) < p
+    do_r = jax.random.uniform(k_r) < p
+    rot_k = jnp.where(do_r, jax.random.randint(k_rk, (), 0, 4), 0)
+
+    def apply(x, hw_axes):
+        a0, a1 = hw_axes
+        x = jnp.where(do_h, jnp.flip(x, axis=a1), x)
+        x = jnp.where(do_v, jnp.flip(x, axis=a0), x)
+        x = jax.lax.switch(rot_k, [
+            lambda t: t,
+            lambda t: jnp.flip(jnp.swapaxes(t, a0, a1), a0),
+            lambda t: jnp.flip(jnp.flip(t, a0), a1),
+            lambda t: jnp.flip(jnp.swapaxes(t, a0, a1), a1),
+        ], x)
+        return x
+
+    img = apply(img, (0, 1))
+    if mask is not None:
+        mask = apply(mask, (0, 1))
+    return img, mask
+
+
+def shift_scale_rotate(img: jnp.ndarray, mask: Optional[jnp.ndarray],
+                       key: jax.Array, shift_limit: float = 0.05,
+                       scale_limit: float = 0.1, rotate_limit: float = 15.0,
+                       p: float = 0.5):
+    """Affine warp with cv2 conventions: rotation about the image center,
+    uniform scale, fractional shift; REFLECT_101 border, bilinear for the
+    image / nearest for the mask (albumentations ShiftScaleRotate defaults)."""
+    h, w = img.shape[:2]
+    k_apply, k_sh, k_sv, k_sc, k_rot = jax.random.split(key, 5)
+    apply_it = jax.random.uniform(k_apply) < p
+    dx = jax.random.uniform(k_sh, minval=-shift_limit, maxval=shift_limit)
+    dy = jax.random.uniform(k_sv, minval=-shift_limit, maxval=shift_limit)
+    scale = 1.0 + jax.random.uniform(k_sc, minval=-scale_limit, maxval=scale_limit)
+    angle = jax.random.uniform(k_rot, minval=-rotate_limit, maxval=rotate_limit)
+
+    theta = jnp.deg2rad(angle)
+    alpha = scale * jnp.cos(theta)
+    beta = scale * jnp.sin(theta)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    # forward matrix (src -> dst), cv2.getRotationMatrix2D + shift
+    a11, a12, a13 = alpha, beta, (1 - alpha) * cx - beta * cy + dx * w
+    a21, a22, a23 = -beta, alpha, beta * cx + (1 - alpha) * cy + dy * h
+    det = a11 * a22 - a12 * a21
+    # inverse mapping: dst pixel -> src coordinate
+    i11, i12 = a22 / det, -a12 / det
+    i21, i22 = -a21 / det, a11 / det
+    i13 = -(i11 * a13 + i12 * a23)
+    i23 = -(i21 * a13 + i22 * a23)
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    src_x = i11 * xs + i12 * ys + i13
+    src_y = i21 * xs + i22 * ys + i23
+
+    def warp(x, order):
+        if x.ndim == 3:
+            out = jnp.stack([
+                jax.scipy.ndimage.map_coordinates(
+                    x[..., c], [src_y, src_x], order=order, mode="mirror")
+                for c in range(x.shape[-1])
+            ], axis=-1)
+        else:
+            out = jax.scipy.ndimage.map_coordinates(
+                x, [src_y, src_x], order=order, mode="mirror")
+        return out
+
+    img_out = jnp.where(apply_it, warp(img, 1), img)
+    if mask is not None:
+        mask_out = jnp.where(apply_it, warp(mask.astype(jnp.float32), 0),
+                             mask.astype(jnp.float32)).astype(mask.dtype)
+    else:
+        mask_out = None
+    return img_out, mask_out
+
+
+def random_resized_crop(img: jnp.ndarray, mask: Optional[jnp.ndarray],
+                        key: jax.Array, out_hw: Tuple[int, int],
+                        scale: Tuple[float, float] = (0.5, 1.0),
+                        ratio: Tuple[float, float] = (0.75, 4.0 / 3.0)):
+    """torchvision-semantics RandomResizedCrop (the reference MAE train crop,
+    ``train_ae.py:90``): 10 area/aspect attempts, first valid wins, center-crop
+    fallback — evaluated branch-free with a fixed 10-attempt batch."""
+    h, w = img.shape[:2]
+    area = float(h * w)
+    k_area, k_ratio, k_i, k_j, k_pick = jax.random.split(key, 5)
+    n = 10
+    target_area = jax.random.uniform(k_area, (n,), minval=scale[0], maxval=scale[1]) * area
+    log_ratio = jax.random.uniform(
+        k_ratio, (n,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
+    ar = jnp.exp(log_ratio)
+    ws = jnp.round(jnp.sqrt(target_area * ar))
+    hs = jnp.round(jnp.sqrt(target_area / ar))
+    valid = (ws > 0) & (ws <= w) & (hs > 0) & (hs <= h)
+    # first valid attempt (argmax returns the first True)
+    idx = jnp.argmax(valid)
+    any_valid = jnp.any(valid)
+
+    crop_w = jnp.where(any_valid, ws[idx], float(min(h, w)))
+    crop_h = jnp.where(any_valid, hs[idx], float(min(h, w)))
+    max_i = (h - crop_h).astype(jnp.int32)
+    max_j = (w - crop_w).astype(jnp.int32)
+    rnd_i = jax.random.randint(k_i, (), 0, jnp.maximum(max_i, 0) + 1)
+    rnd_j = jax.random.randint(k_j, (), 0, jnp.maximum(max_j, 0) + 1)
+    y0 = jnp.where(any_valid, rnd_i, (h - crop_h) // 2).astype(jnp.float32)
+    x0 = jnp.where(any_valid, rnd_j, (w - crop_w) // 2).astype(jnp.float32)
+
+    img_out = crop_and_resize(img, y0, x0, crop_h, crop_w, out_hw)
+    mask_out = None
+    if mask is not None:
+        # scale_and_translate has no nearest kernel; for a binary mask,
+        # linear-then-threshold is equivalent to nearest up to tie pixels.
+        soft = crop_and_resize(mask.astype(jnp.float32)[..., None], y0, x0,
+                               crop_h, crop_w, out_hw)[..., 0]
+        mask_out = (soft > 0.5 * jnp.maximum(mask.max(), 1)).astype(
+            jnp.float32) * jnp.maximum(mask.max(), 1)
+    return img_out, mask_out
+
+
+# ------------------------------------------------------------- color augs
+
+def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def color_jitter(img: jnp.ndarray, key: jax.Array, brightness: float = 0.2,
+                 contrast: float = 0.2, saturation: float = 0.2,
+                 hue: float = 0.1, p: float = 0.5) -> jnp.ndarray:
+    """torchvision-order ColorJitter: the four adjustments run in a random
+    permutation with uniformly sampled factors (albumentations mirrors this)."""
+    k_apply, k_perm, k_b, k_c, k_s, k_h = jax.random.split(key, 6)
+    apply_it = jax.random.uniform(k_apply) < p
+    fb = jax.random.uniform(k_b, minval=1 - brightness, maxval=1 + brightness)
+    fc = jax.random.uniform(k_c, minval=1 - contrast, maxval=1 + contrast)
+    fs = jax.random.uniform(k_s, minval=1 - saturation, maxval=1 + saturation)
+    fh = jax.random.uniform(k_h, minval=-hue, maxval=hue)
+    perm = jax.random.permutation(k_perm, 4)
+
+    lum_w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+
+    def adj_brightness(x):
+        return x * fb
+
+    def adj_contrast(x):
+        mean = jnp.mean(jnp.clip(x, 0, 255) @ lum_w)
+        return mean + fc * (x - mean)
+
+    def adj_saturation(x):
+        gray = (jnp.clip(x, 0, 255) @ lum_w)[..., None]
+        return gray + fs * (x - gray)
+
+    def adj_hue(x):
+        hsv = _rgb_to_hsv(jnp.clip(x, 0, 255) / 255.0)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + fh) % 1.0)
+        return _hsv_to_rgb(hsv) * 255.0
+
+    def body(i, x):
+        return jax.lax.switch(perm[i], [adj_brightness, adj_contrast,
+                                        adj_saturation, adj_hue], x)
+
+    out = jax.lax.fori_loop(0, 4, body, img)
+    out = jnp.clip(out, 0.0, 255.0)
+    return jnp.where(apply_it, out, img)
+
+
+def gauss_noise(img: jnp.ndarray, key: jax.Array,
+                var_limit: Tuple[float, float] = (10.0, 50.0),
+                p: float = 0.3) -> jnp.ndarray:
+    """Additive gaussian noise on the 0..255 scale (albumentations GaussNoise)."""
+    k_apply, k_var, k_noise = jax.random.split(key, 3)
+    apply_it = jax.random.uniform(k_apply) < p
+    var = jax.random.uniform(k_var, minval=var_limit[0], maxval=var_limit[1])
+    noise = jax.random.normal(k_noise, img.shape, img.dtype) * jnp.sqrt(var)
+    return jnp.where(apply_it, jnp.clip(img + noise, 0.0, 255.0), img)
+
+
+# ------------------------------------------------------------- policies
+
+def fusion_train_transform(img: jnp.ndarray, mask: jnp.ndarray,
+                           key: jax.Array, out_hw=(380, 380)):
+    """Reference fusion train policy (``main.py:76-87``): Resize(380) →
+    flips/rot90 → ShiftScaleRotate → ColorJitter → GaussNoise → Normalize."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    img = resize_bilinear(img, out_hw)
+    mask = resize_nearest(mask, out_hw)
+    img, mask = random_flips_rot90(img, mask, k1)
+    img, mask = shift_scale_rotate(img, mask, k2)
+    img = color_jitter(img, k3)
+    img = gauss_noise(img, k4)
+    return normalize_imagenet(img), mask
+
+
+def fusion_eval_transform(img: jnp.ndarray, mask: jnp.ndarray, out_hw=(380, 380)):
+    """Reference fusion eval policy (``main.py:89-94``)."""
+    return normalize_imagenet(resize_bilinear(img, out_hw)), resize_nearest(mask, out_hw)
+
+
+def mae_train_transform(img: jnp.ndarray, mask: jnp.ndarray, key: jax.Array,
+                        out_hw=(224, 224)):
+    """Reference MAE train policy (``train_ae.py:88-100``): RandomResizedCrop
+    (scale .5-1, ratio .75-1.33) → flips/rot90 → Normalize."""
+    k1, k2 = jax.random.split(key)
+    img, mask = random_resized_crop(img, mask, k1, out_hw)
+    img, mask = random_flips_rot90(img, mask, k2)
+    return normalize_imagenet(img), mask
+
+
+def mae_eval_transform(img: jnp.ndarray, mask: jnp.ndarray, out_hw=(224, 224)):
+    """Reference MAE eval / latent-extraction policy (``train_ae.py:102-105``,
+    ``save_latent.py:26-30``)."""
+    return normalize_imagenet(resize_bilinear(img, out_hw)), resize_nearest(mask, out_hw)
+
+
+def _batched(fn, stochastic: bool):
+    if stochastic:
+        def batched(images, masks, key):
+            keys = jax.random.split(key, images.shape[0])
+            return jax.vmap(fn)(images.astype(jnp.float32),
+                                masks.astype(jnp.float32), keys)
+    else:
+        def batched(images, masks):
+            return jax.vmap(fn)(images.astype(jnp.float32),
+                                masks.astype(jnp.float32))
+    return jax.jit(batched)
+
+
+fusion_train_batch = _batched(fusion_train_transform, stochastic=True)
+fusion_eval_batch = _batched(fusion_eval_transform, stochastic=False)
+mae_train_batch = _batched(mae_train_transform, stochastic=True)
+mae_eval_batch = _batched(mae_eval_transform, stochastic=False)
+
+POLICIES = {
+    "fusion_train": fusion_train_batch,
+    "fusion_eval": fusion_eval_batch,
+    "mae_train": mae_train_batch,
+    "mae_eval": mae_eval_batch,
+}

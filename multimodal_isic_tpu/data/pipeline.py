@@ -1,0 +1,176 @@
+"""Input pipeline: host decode → device prefetch → on-device transform.
+
+The reference's per-sample CPU path (cv2 decode + centroid crop +
+albumentations per item inside ``DermDataset.__getitem__`` → default
+DataLoader collation, ``dataset.py:21-56``) is its throughput bottleneck
+(SURVEY.md §3.1).  Here the host does only what must touch bytes on disk —
+JPEG decode and the centroid crop (pure slicing) — while resize, augmentation
+and normalization run batched on device under one jit; batches are shipped to
+HBM ahead of compute by a background prefetch thread.
+
+Per-sample record contract matches the reference dict: image, mask, radiomics,
+age, sex, loc, artifacts, target (+ paths kept host-side).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from .crop import centroid_crop
+from .manifest import ARTIFACT_COLS
+
+RADIOMICS_PLACEHOLDER_DIM = 102  # reference stub at dataset.py:42
+
+
+class DermRecords:
+    """Host-side record reader: decode + centroid-crop, no augmentation.
+
+    ``staging_hw`` fixes the host output size so device batches have static
+    shapes: crops whose ``min(H, W)`` differs from it are resized on host
+    (cv2.INTER_LINEAR) — a no-op for the dominant 450×600 ISIC shape when
+    ``staging_hw == (450, 450)``.
+    """
+
+    def __init__(self, df, radiomics=None, staging_hw=(450, 450)):
+        import cv2  # local: host-only dependency
+        self._cv2 = cv2
+        self.df = df.reset_index(drop=True)
+        self.radiomics = None
+        if radiomics is not None:
+            self.radiomics = np.asarray(radiomics, dtype=np.float32)
+            if len(self.radiomics) != len(self.df):
+                raise ValueError("radiomics rows must align with manifest rows")
+        self.staging_hw = staging_hw
+
+    def __len__(self):
+        return len(self.df)
+
+    def read_image_mask(self, idx: int):
+        import os
+        cv2 = self._cv2
+        row = self.df.iloc[idx]
+        bgr = cv2.imread(row["image_path"])
+        if bgr is None:
+            raise FileNotFoundError(row["image_path"])
+        image = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        mask_path = row["segmentation_path"]
+        if mask_path == "no_mask" or not os.path.exists(str(mask_path)):
+            mask = None
+        else:
+            mask = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
+        image, mask = centroid_crop(image, mask)  # min(H, W) square
+        if image.shape[:2] != self.staging_hw:
+            image = cv2.resize(image, self.staging_hw[::-1], interpolation=cv2.INTER_LINEAR)
+            mask = cv2.resize(mask, self.staging_hw[::-1], interpolation=cv2.INTER_NEAREST)
+        return image, mask
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        row = self.df.iloc[idx]
+        image, mask = self.read_image_mask(idx)
+        if self.radiomics is not None:
+            radiomics = self.radiomics[idx]
+        else:
+            radiomics = np.zeros(RADIOMICS_PLACEHOLDER_DIM, np.float32)
+        has_art = all(c in row.index for c in ARTIFACT_COLS)
+        return {
+            "image": image,
+            "mask": mask,
+            "radiomics": radiomics,
+            "age": np.float32(row.get("age_normalized", 0.0)),
+            "sex": np.int32(row.get("sex_encoded", 0)),
+            "loc": np.int32(row.get("loc_encoded", 0)),
+            "artifacts": (row[ARTIFACT_COLS].values.astype(np.int32)
+                          if has_art else np.zeros(len(ARTIFACT_COLS), np.int32)),
+            "target": np.int32(row["dx"]),
+        }
+
+
+def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class DeviceLoader:
+    """Iterates device-resident batches with background host prefetch.
+
+    order        explicit index order per epoch (shuffle / weighted resampling
+                 is the caller's policy — see core.splits.weighted_sample_indices).
+    transform    jitted batch fn applied on device (e.g. augment.POLICIES),
+                 called as transform(images, masks[, key]).
+    place        optional fn placing a host batch onto devices (e.g.
+                 parallel.shard_batch for a mesh); defaults to device_put.
+    """
+
+    def __init__(self, records: DermRecords, batch_size: int,
+                 order: Optional[np.ndarray] = None,
+                 transform: Optional[Callable] = None,
+                 rng_stream=None,
+                 place: Optional[Callable] = None,
+                 drop_last: bool = False,
+                 prefetch: int = 2):
+        self.records = records
+        self.batch_size = batch_size
+        self.order = np.arange(len(records)) if order is None else np.asarray(order)
+        self.transform = transform
+        self.rng_stream = rng_stream
+        self.place = place
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.order)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        for start in range(0, len(self.order), self.batch_size):
+            idx = self.order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield _collate([self.records[int(i)] for i in idx])
+
+    def __iter__(self):
+        import jax
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error_box = []
+
+        def producer():
+            try:
+                for host_batch in self._host_batches():
+                    q.put(host_batch)
+            except BaseException as e:  # surface worker errors to the consumer
+                error_box.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+
+        step = 0
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error_box:
+                    raise error_box[0]
+                return
+            batch = dict(item)
+            images = batch.pop("image")
+            masks = batch.pop("mask")
+            if self.place is not None:
+                images, masks = self.place(images), self.place(masks)
+                batch = {k: self.place(v) for k, v in batch.items()}
+            if self.transform is not None:
+                if self.rng_stream is not None:
+                    images, masks = self.transform(images, masks, self.rng_stream.next())
+                else:
+                    images, masks = self.transform(images, masks)
+            elif self.place is None:
+                images = jax.device_put(images)
+                masks = jax.device_put(masks)
+            batch["image"] = images
+            batch["mask"] = masks
+            step += 1
+            yield batch
