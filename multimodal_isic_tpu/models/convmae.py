@@ -1,0 +1,289 @@
+"""Conv-MAE: hybrid convolutional/ViT masked autoencoder, TPU-first.
+
+Provides the capability surface of the reference's external ConvMAE dependency
+(``train_ae.py:24-25,136-141``, ``save_latent.py:17-18,42-60``): a 3-stage
+conv→conv→transformer encoder over 224×224 crops (56²→28²→14² grid, dims
+256→384→768), random masking at the 14×14=196-token granularity with the mask
+upsampled into the conv stages so masked content never leaks, optional
+*lesion-guided* masking (the reference's local patch to upstream ConvMAE),
+norm-pix reconstruction loss, an encoder-only mode (``with_decoder=False``)
+and ``patchify``/``unpatchify``/``forward_encoder`` entry points.
+
+This is a re-design, not a port: channels-last NHWC layout throughout, LayerNorm
+conv blocks (5×5 depthwise token mixer between 1×1 projections), static-shape
+keep-token gathering (mask ratio is a compile-time constant).  Masking/restore
+bookkeeping follows the MAE convention: ``mask`` is [B, N] with 1 = masked,
+``ids_restore`` un-shuffles decoder tokens.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.patches import patch_overlap_mask, patchify, unpatchify
+
+
+def sincos_pos_embed(dim: int, grid: int) -> jnp.ndarray:
+    """Fixed 2-D sin-cos positional embedding, [grid*grid, dim]."""
+    assert dim % 4 == 0
+    coords = jnp.arange(grid, dtype=jnp.float32)
+    omega = jnp.arange(dim // 4, dtype=jnp.float32) / (dim / 4.0)
+    omega = 1.0 / (10000.0 ** omega)
+    out = jnp.einsum("g,d->gd", coords, omega)
+    emb_1d = jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)  # [g, dim/2]
+    emb_h = jnp.repeat(emb_1d[:, None, :], grid, axis=1)
+    emb_w = jnp.repeat(emb_1d[None, :, :], grid, axis=0)
+    return jnp.concatenate([emb_h, emb_w], axis=-1).reshape(grid * grid, dim)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden)(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out)(x)
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, d = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3)(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, hd]
+        q = q * (1.0 / math.sqrt(head_dim))
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
+        return nn.Dense(self.dim)(out)
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block (ViT stage / decoder)."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + Attention(self.dim, self.num_heads)(nn.LayerNorm()(x))
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim)(nn.LayerNorm()(x))
+        return x
+
+
+class ConvBlock(nn.Module):
+    """Conv stage block: 1×1 → masked 5×5 depthwise → 1×1, then a 1×1 MLP,
+    both residual.  ``keep`` ([B, H, W, 1], 1 = visible) zeroes masked
+    positions at the depthwise input so masked pixels cannot leak through the
+    5×5 receptive field during pretraining."""
+    dim: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, keep: Optional[jnp.ndarray] = None):
+        h = nn.LayerNorm()(x)
+        h = nn.Conv(self.dim, (1, 1))(h)
+        if keep is not None:
+            h = h * keep
+        h = nn.Conv(self.dim, (5, 5), padding="SAME",
+                    feature_group_count=self.dim)(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Conv(self.dim, (1, 1))(h)
+        x = x + h
+        h = nn.LayerNorm()(x)
+        h = nn.Conv(int(self.dim * self.mlp_ratio), (1, 1))(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Conv(self.dim, (1, 1))(h)
+        return x + h
+
+
+def random_masking(key: jax.Array, batch: int, num_patches: int,
+                   mask_ratio: float,
+                   lesion_overlap: Optional[jnp.ndarray] = None,
+                   lesion_bias: float = 1.0):
+    """MAE noise-argsort masking with optional lesion guidance.
+
+    Returns (ids_keep [B, len_keep], mask [B, N] 1=masked, ids_restore [B, N]).
+    With ``lesion_overlap`` ([B, N] bool) given, lesion patches receive a noise
+    bias so they are masked preferentially — forcing the decoder to reconstruct
+    lesion texture (the reference's lesion-mask training mode,
+    ``train_ae.py:170-172``).
+    """
+    len_keep = int(round(num_patches * (1.0 - mask_ratio)))
+    if len_keep == num_patches:  # no masking: identity ordering, not a shuffle
+        ids = jnp.tile(jnp.arange(num_patches)[None, :], (batch, 1))
+        return ids, jnp.zeros((batch, num_patches)), ids
+    noise = jax.random.uniform(key, (batch, num_patches))
+    if lesion_overlap is not None:
+        noise = noise + lesion_bias * lesion_overlap.astype(noise.dtype)
+    ids_shuffle = jnp.argsort(noise, axis=1)  # ascending: keep smallest
+    ids_restore = jnp.argsort(ids_shuffle, axis=1)
+    ids_keep = ids_shuffle[:, :len_keep]
+    mask = jnp.ones((batch, num_patches))
+    mask = mask.at[:, :len_keep].set(0.0)
+    mask = jnp.take_along_axis(mask, ids_restore, axis=1)
+    return ids_keep, mask, ids_restore
+
+
+class ConvMAE(nn.Module):
+    """ConvViT-Base masked autoencoder (dims 256/384/768, depths 2/2/11,
+    decoder 512×8) — the configuration of the reference's
+    ``convmae_convvit_base_patch16_dec512d8b``."""
+
+    img_size: int = 224
+    embed_dims: Sequence[int] = (256, 384, 768)
+    depths: Sequence[int] = (2, 2, 11)
+    num_heads: int = 12
+    decoder_dim: int = 512
+    decoder_depth: int = 8
+    decoder_heads: int = 16
+    norm_pix_loss: bool = False
+    with_decoder: bool = True
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // 16
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    def setup(self):
+        d0, d1, d2 = self.embed_dims
+        self.embed1 = nn.Conv(d0, (4, 4), strides=(4, 4))
+        self.embed1_norm = nn.LayerNorm()
+        self.stage1 = [ConvBlock(d0) for _ in range(self.depths[0])]
+        self.embed2 = nn.Conv(d1, (2, 2), strides=(2, 2))
+        self.embed2_norm = nn.LayerNorm()
+        self.stage2 = [ConvBlock(d1) for _ in range(self.depths[1])]
+        self.embed3 = nn.Conv(d2, (2, 2), strides=(2, 2))
+        self.embed3_norm = nn.LayerNorm()
+        self.pos_embed = self.param(
+            "pos_embed", lambda key, shape: sincos_pos_embed(d2, self.grid),
+            (self.num_patches, d2))
+        self.vit = [Block(d2, self.num_heads) for _ in range(self.depths[2])]
+        self.encoder_norm = nn.LayerNorm()
+        if self.with_decoder:
+            self.decoder_embed = nn.Dense(self.decoder_dim)
+            self.mask_token = self.param(
+                "mask_token", nn.initializers.normal(0.02), (1, 1, self.decoder_dim))
+            self.dec_blocks = [Block(self.decoder_dim, self.decoder_heads)
+                               for _ in range(self.decoder_depth)]
+            self.decoder_norm = nn.LayerNorm()
+            self.decoder_pred = nn.Dense(16 * 16 * 3)
+
+    # ------------------------------------------------------------- encoder
+    def encode(self, imgs: jnp.ndarray, mask_ratio: float = 0.0,
+               rng: Optional[jax.Array] = None,
+               lesion_mask: Optional[jnp.ndarray] = None):
+        """→ (latent [B, len_keep, 768], mask [B, N], ids_restore [B, N])."""
+        b = imgs.shape[0]
+        n = self.num_patches
+        g = self.grid
+
+        if mask_ratio > 0.0:
+            if rng is None:
+                rng = self.make_rng("masking")
+            overlap = None
+            if lesion_mask is not None:
+                overlap = patch_overlap_mask(lesion_mask, patch=16)
+            ids_keep, mask, ids_restore = random_masking(
+                rng, b, n, mask_ratio, overlap)
+            keep3 = (1.0 - mask).reshape(b, g, g, 1)  # stage-3 grid visibility
+            # upsample visibility into the conv-stage grids (×4, ×2)
+            keep1 = jnp.repeat(jnp.repeat(keep3, 4, axis=1), 4, axis=2)
+            keep2 = jnp.repeat(jnp.repeat(keep3, 2, axis=1), 2, axis=2)
+        else:
+            ids_keep = jnp.tile(jnp.arange(n)[None, :], (b, 1))
+            mask = jnp.zeros((b, n))
+            ids_restore = ids_keep
+            keep1 = keep2 = None
+
+        x = self.embed1_norm(self.embed1(imgs))       # 56×56×256
+        for blk in self.stage1:
+            x = blk(x, keep1)
+        x = self.embed2_norm(self.embed2(x))          # 28×28×384
+        for blk in self.stage2:
+            x = blk(x, keep2)
+        x = self.embed3(x)                            # 14×14×768
+        x = x.reshape(b, n, self.embed_dims[2])
+        x = self.embed3_norm(x)
+        x = x + self.pos_embed[None]
+
+        # drop masked tokens (static len_keep) before the transformer
+        x = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)
+        for blk in self.vit:
+            x = blk(x)
+        x = self.encoder_norm(x)
+        return x, mask, ids_restore
+
+    def decode(self, latent: jnp.ndarray, ids_restore: jnp.ndarray):
+        """→ predicted patch pixels [B, N, 16*16*3]."""
+        b, len_keep, _ = latent.shape
+        n = ids_restore.shape[1]
+        x = self.decoder_embed(latent)
+        fills = jnp.tile(self.mask_token, (b, n - len_keep, 1))
+        x = jnp.concatenate([x, fills], axis=1)
+        x = jnp.take_along_axis(x, ids_restore[:, :, None], axis=1)  # unshuffle
+        x = x + sincos_pos_embed(self.decoder_dim, self.grid)[None]
+        for blk in self.dec_blocks:
+            x = blk(x)
+        x = self.decoder_norm(x)
+        return self.decoder_pred(x)
+
+    def loss(self, imgs: jnp.ndarray, pred: jnp.ndarray, mask: jnp.ndarray):
+        """MAE reconstruction loss: per-patch MSE averaged over masked patches,
+        with optional per-patch pixel normalization of the target."""
+        target = patchify(imgs, 16)
+        if self.norm_pix_loss:
+            mean = target.mean(axis=-1, keepdims=True)
+            var = target.var(axis=-1, keepdims=True)
+            target = (target - mean) / jnp.sqrt(var + 1e-6)
+        per_patch = jnp.mean((pred - target) ** 2, axis=-1)  # [B, N]
+        denom = jnp.maximum(mask.sum(), 1.0)
+        return (per_patch * mask).sum() / denom
+
+    def __call__(self, imgs: jnp.ndarray, mask_ratio: float = 0.75,
+                 rng: Optional[jax.Array] = None,
+                 lesion_mask: Optional[jnp.ndarray] = None):
+        """Training forward → (loss, pred, mask) — the reference call signature
+        ``ae_model(images, mask_ratio, lesion_mask)`` (``train_ae.py:172``).
+        The encoder-only model (``with_decoder=False``) instead returns the
+        (latent, mask, ids_restore) triple, matching ``save_latent.py:60``."""
+        latent, mask, ids_restore = self.encode(imgs, mask_ratio, rng, lesion_mask)
+        if not self.with_decoder:
+            return latent, mask, ids_restore
+        pred = self.decode(latent, ids_restore)
+        loss = self.loss(imgs, pred, mask)
+        return loss, pred, mask
+
+    # reference-parity helpers --------------------------------------------
+    def forward_encoder(self, imgs, mask_ratio=0.0, rng=None, lesion_mask=None):
+        return self.encode(imgs, mask_ratio, rng, lesion_mask)
+
+    @staticmethod
+    def patchify(imgs):
+        return patchify(imgs, 16)
+
+    @staticmethod
+    def unpatchify(pred):
+        return unpatchify(pred, 16, 3)
+
+
+def convmae_convvit_base_patch16_dec512d8b(norm_pix_loss: bool = False,
+                                           with_decoder: bool = True) -> ConvMAE:
+    """Constructor named for discoverability against the reference import
+    (``train_ae.py:25``)."""
+    return ConvMAE(norm_pix_loss=norm_pix_loss, with_decoder=with_decoder)

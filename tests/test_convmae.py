@@ -1,0 +1,224 @@
+"""Conv-MAE: masking invariants, loss math, encoder-only mode, train step on
+an 8-device mesh, latent moments vs torch reference math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_isic_tpu.analysis.latents import concat_patch_moments
+from multimodal_isic_tpu.models.convmae import (
+    ConvMAE, convmae_convvit_base_patch16_dec512d8b, random_masking,
+    sincos_pos_embed,
+)
+from multimodal_isic_tpu.ops.patches import patch_overlap_mask, patchify, unpatchify
+from multimodal_isic_tpu.parallel import make_mesh, replicated, shard_batch
+from multimodal_isic_tpu.train.mae import (
+    init_mae, mae_optimizer, make_encoder_step, make_mae_train_step,
+)
+from multimodal_isic_tpu.core.train_state import TrainState
+
+TINY = dict(img_size=64, embed_dims=(16, 24, 32), depths=(1, 1, 2),
+            num_heads=4, decoder_dim=16, decoder_depth=1, decoder_heads=4)
+
+
+# ------------------------------------------------------------ patch ops
+
+def test_patchify_roundtrip_and_torch_ordering(rng):
+    import torch
+    imgs = rng.rand(2, 32, 32, 3).astype(np.float32)
+    ours = np.asarray(patchify(jnp.asarray(imgs), 16))
+    # torch MAE ordering: nchpwq->nhwpqc
+    t = torch.tensor(imgs).permute(0, 3, 1, 2)
+    p = 16
+    t = t.reshape(2, 3, 2, p, 2, p)
+    theirs = torch.einsum("nchpwq->nhwpqc", t).reshape(2, 4, p * p * 3).numpy()
+    np.testing.assert_allclose(ours, theirs)
+    back = np.asarray(unpatchify(jnp.asarray(ours), 16, 3))
+    np.testing.assert_allclose(back, imgs)
+
+
+def test_patch_overlap_matches_reference_unfold(rng):
+    mask = (rng.rand(3, 64, 64) > 0.95).astype(np.float32)
+    ours = np.asarray(patch_overlap_mask(jnp.asarray(mask), 16))
+    import torch
+    m = torch.tensor(mask).unsqueeze(1)
+    mp = m.unfold(2, 16, 16).unfold(3, 16, 16).contiguous().view(3, 1, 4, 4, -1)
+    theirs = (mp.sum(-1) > 0).squeeze(1).reshape(3, 16).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+# ------------------------------------------------------------- masking
+
+def test_random_masking_invariants():
+    key = jax.random.PRNGKey(0)
+    ids_keep, mask, ids_restore = random_masking(key, 4, 196, 0.75)
+    assert ids_keep.shape == (4, 49)
+    np.testing.assert_allclose(np.asarray(mask).sum(1), 147)  # 75% masked
+    # restore bookkeeping: shuffled [kept | masked] unshuffles to original slots
+    shuffled_flags = jnp.concatenate(
+        [jnp.zeros((4, 49)), jnp.ones((4, 147))], axis=1)
+    restored = jnp.take_along_axis(shuffled_flags, ids_restore, axis=1)
+    np.testing.assert_allclose(np.asarray(restored), np.asarray(mask))
+    # kept ids are exactly the mask==0 positions
+    for b in range(4):
+        kept = set(np.asarray(ids_keep)[b].tolist())
+        assert kept == set(np.where(np.asarray(mask)[b] == 0)[0].tolist())
+
+
+def test_lesion_guided_masking_prefers_lesion():
+    key = jax.random.PRNGKey(1)
+    overlap = jnp.zeros((2, 196)).at[:, :60].set(1.0)  # 60 lesion patches
+    _, mask, _ = random_masking(key, 2, 196, 0.5, lesion_overlap=overlap)
+    masked_lesion = (np.asarray(mask)[:, :60] == 1).mean()
+    assert masked_lesion == 1.0  # bias 1.0 >> uniform noise: all lesion masked
+
+
+def test_mask_ratio_zero_identity():
+    key = jax.random.PRNGKey(0)
+    ids_keep, mask, ids_restore = random_masking(key, 2, 16, 0.0)
+    assert np.asarray(mask).sum() == 0
+    np.testing.assert_array_equal(np.asarray(ids_keep), np.tile(np.arange(16), (2, 1)))
+
+
+# ------------------------------------------------------- model forward/loss
+
+@pytest.fixture(scope="module")
+def tiny_model_and_params():
+    model = ConvMAE(**TINY)
+    params = init_mae(model, jax.random.PRNGKey(0), batch_size=2)
+    return model, params
+
+
+def test_forward_shapes_and_loss(tiny_model_and_params):
+    model, params = tiny_model_and_params
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    loss, pred, mask = model.apply({"params": params}, imgs, mask_ratio=0.75,
+                                   rng=jax.random.PRNGKey(1))
+    n = (64 // 16) ** 2
+    assert pred.shape == (2, n, 16 * 16 * 3)
+    assert mask.shape == (2, n)
+    # loss equals manual masked-patch MSE
+    target = np.asarray(patchify(imgs, 16))
+    per_patch = ((np.asarray(pred) - target) ** 2).mean(-1)
+    manual = (per_patch * np.asarray(mask)).sum() / np.asarray(mask).sum()
+    assert float(loss) == pytest.approx(manual, rel=1e-5)
+
+
+def test_norm_pix_loss_normalizes_targets(tiny_model_and_params):
+    model, params = tiny_model_and_params
+    model_np = ConvMAE(**TINY, norm_pix_loss=True)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3) * 100, jnp.float32)
+    loss, pred, mask = model_np.apply({"params": params}, imgs, mask_ratio=0.5,
+                                      rng=jax.random.PRNGKey(1))
+    target = np.asarray(patchify(imgs, 16))
+    t = (target - target.mean(-1, keepdims=True)) / np.sqrt(
+        target.var(-1, keepdims=True) + 1e-6)
+    manual = (((np.asarray(pred) - t) ** 2).mean(-1) * np.asarray(mask)).sum() / np.asarray(mask).sum()
+    assert float(loss) == pytest.approx(manual, rel=1e-5)
+
+
+def test_encoder_only_model_full_latent(tiny_model_and_params):
+    model, params = tiny_model_and_params
+    enc_model = ConvMAE(**TINY, with_decoder=False)
+    # encoder params are a subset: strict=False-style reuse (save_latent.py:49)
+    enc_params = {k: v for k, v in params.items()
+                  if not (k.startswith("dec") or k == "mask_token")}
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    latent, mask, ids_restore = enc_model.apply({"params": enc_params}, imgs,
+                                                mask_ratio=0.0)
+    assert latent.shape == (2, 16, TINY["embed_dims"][2])
+    assert np.asarray(mask).sum() == 0
+    # full forward with decoder on same images gives identical latents
+    step = make_encoder_step(model)
+    latent2, _ = step(params, imgs)
+    np.testing.assert_allclose(np.asarray(latent), np.asarray(latent2), atol=1e-5)
+
+
+def test_masked_content_cannot_leak(tiny_model_and_params):
+    """Changing pixels under masked patches must not change the encoder's
+    visible-token latents (the conv-stage mask-upsampling guarantee)."""
+    model, params = tiny_model_and_params
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    latent, mask, ids_restore = model.apply(
+        {"params": params}, imgs, mask_ratio=0.5, rng=key,
+        method=ConvMAE.forward_encoder)
+    # perturb one masked patch's pixels
+    masked_ids = np.where(np.asarray(mask)[0] == 1)[0]
+    pid = int(masked_ids[0])
+    gy, gx = divmod(pid, 4)
+    imgs2 = imgs.at[0, gy * 16:(gy + 1) * 16, gx * 16:(gx + 1) * 16, :].add(10.0)
+    latent2, mask2, _ = model.apply(
+        {"params": params}, imgs2, mask_ratio=0.5, rng=key,
+        method=ConvMAE.forward_encoder)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask2))
+    np.testing.assert_allclose(np.asarray(latent), np.asarray(latent2),
+                               atol=2e-5)
+
+
+def test_pos_embed_is_2d_sincos():
+    pe = np.asarray(sincos_pos_embed(8, 4))
+    assert pe.shape == (16, 8)
+    # first half encodes rows: identical across a row's columns
+    np.testing.assert_allclose(pe[0, :4], pe[1, :4], atol=1e-6)
+    assert not np.allclose(pe[0, :4], pe[4, :4])
+
+
+# ------------------------------------------------------- training on a mesh
+
+def test_train_step_descends_and_stays_replicated(eight_devices):
+    model = ConvMAE(**TINY)
+    params = init_mae(model, jax.random.PRNGKey(0), batch_size=2)
+    mesh = make_mesh()
+    params = jax.device_put(params, replicated(mesh))
+    opt = mae_optimizer(encoder_lr=1e-3, decoder_lr=1e-3)
+    state = TrainState.create(params, opt, jax.random.PRNGKey(1))
+    step = make_mae_train_step(model, opt, mask_ratio=0.75)
+
+    rng = np.random.RandomState(0)
+    images = shard_batch(mesh, rng.rand(16, 64, 64, 3).astype(np.float32))
+    losses = []
+    for i in range(8):
+        key, state = state.next_rng()
+        state, loss = step(state, images, None, key)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]  # memorizing a fixed batch
+    assert int(state.step) == 8
+
+
+def test_lesion_mask_train_step_runs(eight_devices):
+    model = ConvMAE(**TINY)
+    params = init_mae(model, jax.random.PRNGKey(0), batch_size=2)
+    opt = mae_optimizer()
+    state = TrainState.create(params, opt, jax.random.PRNGKey(1))
+    step = make_mae_train_step(model, opt, mask_ratio=0.5, use_lesion_mask=True)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(4, 64, 64, 3), jnp.float32)
+    lesion = jnp.asarray((rng.rand(4, 64, 64) > 0.8).astype(np.float32))
+    state, loss = step(state, images, lesion, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+
+
+# ---------------------------------------------------------- latent moments
+
+def test_concat_patch_moments_matches_torch_reference(rng):
+    """Golden test against the reference math (utils.py:16-31) run in torch."""
+    import torch
+    latent_np = rng.rand(3, 196, 8).astype(np.float32)
+    ours = np.asarray(concat_patch_moments(jnp.asarray(latent_np)))
+
+    latent = torch.tensor(latent_np)
+    mean = latent.mean(dim=1)
+    maxv = latent.max(dim=1).values
+    std = latent.std(dim=1, unbiased=False)
+    median = latent.median(dim=1).values
+    centered = latent - mean.unsqueeze(1)
+    m3 = (centered ** 3).mean(dim=1)
+    m4 = (centered ** 4).mean(dim=1)
+    sigma = std.clamp(min=1e-6)
+    skew = m3 / sigma ** 3
+    kurt = m4 / sigma ** 4 - 3.0
+    theirs = torch.cat([mean, maxv, std, median, skew, kurt], dim=1).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=1e-5)
