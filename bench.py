@@ -1,0 +1,137 @@
+"""Benchmark: ISIC images/sec/chip for device preprocessing + fused
+multimodal forward (the BASELINE.json headline metric).
+
+Measures, on the real chip:
+  - value: throughput of [uint8 450×450 crops → on-device resize(380) +
+    ImageNet normalize → full 4-modality fusion forward (EfficientNet-B3)]
+    as one jitted program, steady state.
+  - baseline: the reference-equivalent CPU path measured live — host
+    preprocessing (cv2 resize + normalize, as albumentations does) + torch
+    EfficientNet-B3-based fusion forward on CPU (efficientnet_pytorch is not
+    installable here; utils/torch_ref.py is architecture-identical).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_tpu(batch_size=64, iters=10):
+    import jax
+    import jax.numpy as jnp
+    from multimodal_isic_tpu.data import augment
+    from multimodal_isic_tpu.models.fusion import MultiModalFusionNet
+    from multimodal_isic_tpu.train.fusion import BATCH_KEYS, init_fusion
+
+    model = MultiModalFusionNet()
+    rng = np.random.RandomState(0)
+    host = {
+        "image": rng.randint(0, 255, (batch_size, 450, 450, 3), np.uint8),
+        "radiomics": rng.randn(batch_size, 780).astype(np.float32),
+        "age": rng.randn(batch_size).astype(np.float32),
+        "sex": rng.randint(0, 3, batch_size).astype(np.int32),
+        "loc": rng.randint(0, 15, batch_size).astype(np.int32),
+        "artifacts": rng.randint(0, 2, (batch_size, 6)).astype(np.int32),
+    }
+    init_batch = dict(host)
+    init_batch["image"] = np.zeros((2, 380, 380, 3), np.float32)
+    for k in ("radiomics", "age", "sex", "loc", "artifacts"):
+        init_batch[k] = host[k][:2]
+    params, batch_stats = init_fusion(model, jax.random.PRNGKey(0), init_batch)
+
+    @jax.jit
+    def preproc_and_forward(params, batch_stats, batch):
+        img = jax.vmap(lambda im: augment.normalize_imagenet(
+            augment.resize_bilinear(im.astype(jnp.float32), (380, 380))))(batch["image"])
+        variables = {"params": params, "batch_stats": batch_stats}
+        inputs = {k: batch[k] for k in BATCH_KEYS if k in batch}
+        inputs["image"] = img
+        return model.apply(variables, **inputs, train=False)
+
+    dev_batch = jax.device_put(host)
+    out = preproc_and_forward(params, batch_stats, dev_batch)
+    _ = float(out.sum())  # force real completion (see note below)
+    log("tpu: compiled")
+
+    # NOTE: on the tunneled axon backend block_until_ready() returns at
+    # dispatch, so wall-clock timing MUST be closed by a device->host readback.
+    # We enqueue `iters` independent forwards (device executes them serially)
+    # and read back one scalar that depends on all of them.
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        acc = None
+        for _ in range(iters):
+            out = preproc_and_forward(params, batch_stats, dev_batch)
+            acc = out if acc is None else acc + out
+        _ = float(acc.sum())  # single readback closes the chain
+        best = min(best, (time.time() - t0) / iters)
+    ips = batch_size / best
+    log(f"tpu: {ips:.1f} img/s/chip ({best * 1000:.1f} ms / {batch_size} imgs)")
+    return ips
+
+
+def measure_reference_cpu(batch_size=4, iters=3):
+    """Reference-equivalent CPU throughput: cv2 preproc + torch B3 fusion fwd."""
+    import cv2
+    import torch
+    import torch.nn as nn
+    from multimodal_isic_tpu.utils.torch_ref import build_torch_efficientnet
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    backbone = build_torch_efficientnet("efficientnet-b3", num_classes=None)
+    proj = nn.Sequential(nn.Linear(1536, 256), nn.LayerNorm(256), nn.ReLU(),
+                         nn.Linear(256, 128), nn.LayerNorm(128), nn.ReLU())
+    rad = nn.Sequential(nn.Linear(780, 256), nn.LayerNorm(256), nn.ReLU(),
+                        nn.Linear(256, 128), nn.LayerNorm(128), nn.ReLU())
+    fuse = nn.Sequential(nn.Linear(256, 256), nn.ReLU(), nn.Linear(256, 7))
+    backbone.eval()
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (batch_size, 450, 450, 3), np.uint8)
+    radiomics = torch.randn(batch_size, 780)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def run_once():
+        proc = []
+        for im in imgs:  # albumentations-style per-sample host preproc
+            r = cv2.resize(im, (380, 380), interpolation=cv2.INTER_LINEAR)
+            proc.append(((r / 255.0).astype(np.float32) - mean) / std)
+        x = torch.tensor(np.stack(proc).transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            feats = proj(backbone(x))
+            logits = fuse(torch.cat([feats, rad(radiomics)], dim=1))
+        return logits
+
+    run_once()  # warm up
+    t0 = time.time()
+    for _ in range(iters):
+        run_once()
+    dt = (time.time() - t0) / iters
+    ips = batch_size / dt
+    log(f"reference cpu: {ips:.2f} img/s ({dt * 1000:.0f} ms / {batch_size} imgs)")
+    return ips
+
+
+def main():
+    tpu_ips = measure_tpu()
+    ref_ips = measure_reference_cpu()
+    print(json.dumps({
+        "metric": "ISIC images/sec/chip (device preproc + fused multimodal forward)",
+        "value": round(tpu_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(tpu_ips / ref_ips, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""EfficientNet (B0-B7) in flax, TPU-native NHWC.
+
+The reference's image backbone is a pretrained EfficientNet-B3 with its
+classifier replaced by Identity, yielding 1536-d features
+(``model.py:58-59``).  This implements the architecture from its published
+recipe — MBConv with expand/depthwise/SE/project, swish, TF-SAME padding,
+BN(eps=1e-3), per-block-scaled drop-connect, compound width/depth scaling —
+plus a weight-porting loader for ``efficientnet_pytorch`` state dicts so
+pretrained torch checkpoints can be carried over for per-sample parity.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (expand_ratio, kernel, stride, in_filters, out_filters, num_repeat) — B0 base
+_BASE_BLOCKS = [
+    (1, 3, 1, 32, 16, 1),
+    (6, 3, 2, 16, 24, 2),
+    (6, 5, 2, 24, 40, 2),
+    (6, 3, 2, 40, 80, 3),
+    (6, 5, 1, 80, 112, 3),
+    (6, 5, 2, 112, 192, 4),
+    (6, 3, 1, 192, 320, 1),
+]
+
+# name: (width_coefficient, depth_coefficient, resolution, dropout)
+PARAMS = {
+    "efficientnet-b0": (1.0, 1.0, 224, 0.2),
+    "efficientnet-b1": (1.0, 1.1, 240, 0.2),
+    "efficientnet-b2": (1.1, 1.2, 260, 0.3),
+    "efficientnet-b3": (1.2, 1.4, 300, 0.3),
+    "efficientnet-b4": (1.4, 1.8, 380, 0.4),
+    "efficientnet-b5": (1.6, 2.2, 456, 0.4),
+    "efficientnet-b6": (1.8, 2.6, 528, 0.5),
+    "efficientnet-b7": (2.0, 3.1, 600, 0.5),
+}
+
+BN_EPS = 1e-3
+SE_RATIO = 0.25
+
+
+def round_filters(filters: int, width: float, divisor: int = 8) -> int:
+    filters *= width
+    new = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new < 0.9 * filters:
+        new += divisor
+    return int(new)
+
+
+def round_repeats(repeats: int, depth: float) -> int:
+    return int(math.ceil(depth * repeats))
+
+
+def block_args(name: str) -> List[Tuple[int, int, int, int, int]]:
+    """Expanded per-block (expand, kernel, stride, in, out) list."""
+    width, depth, _, _ = PARAMS[name]
+    blocks = []
+    for expand, kernel, stride, cin, cout, repeat in _BASE_BLOCKS:
+        cin = round_filters(cin, width)
+        cout = round_filters(cout, width)
+        for i in range(round_repeats(repeat, depth)):
+            blocks.append((expand, kernel, stride if i == 0 else 1,
+                           cin if i == 0 else cout, cout))
+    return blocks
+
+
+def drop_connect(x: jnp.ndarray, rate: float, deterministic: bool,
+                 rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Per-sample stochastic depth on the residual branch."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1))
+    return x / keep * mask
+
+
+class MBConv(nn.Module):
+    expand_ratio: int
+    kernel: int
+    stride: int
+    in_filters: int
+    out_filters: int
+    drop_rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inputs = x
+        mid = self.in_filters * self.expand_ratio
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, epsilon=BN_EPS, momentum=0.99, name=name)
+        if self.expand_ratio != 1:
+            x = nn.Conv(mid, (1, 1), use_bias=False, name="expand_conv")(x)
+            x = nn.silu(bn("bn0")(x))
+        x = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
+                    padding="SAME", feature_group_count=mid, use_bias=False,
+                    name="depthwise_conv")(x)
+        x = nn.silu(bn("bn1")(x))
+
+        # squeeze-excite on the *input* channel count ratio
+        se_ch = max(1, int(self.in_filters * SE_RATIO))
+        se = jnp.mean(x, axis=(1, 2), keepdims=True)
+        se = nn.Conv(se_ch, (1, 1), name="se_reduce")(se)
+        se = nn.Conv(mid, (1, 1), name="se_expand")(nn.silu(se))
+        x = x * jax.nn.sigmoid(se)
+
+        x = nn.Conv(self.out_filters, (1, 1), use_bias=False, name="project_conv")(x)
+        x = bn("bn2")(x)
+        if self.stride == 1 and self.in_filters == self.out_filters:
+            rng = self.make_rng("dropout") if (train and self.drop_rate > 0) else None
+            x = drop_connect(x, self.drop_rate, not train, rng) + inputs
+        return x
+
+
+class EfficientNet(nn.Module):
+    """Feature extractor + optional classification head.
+
+    ``__call__`` returns pooled features (the reference's Identity-fc usage)
+    unless ``num_classes`` is set, in which case logits.
+    """
+    model_name: str = "efficientnet-b3"
+    num_classes: Optional[int] = None
+    drop_connect_rate: float = 0.2
+    feature_dropout: bool = True  # efficientnet_pytorch keeps _dropout before _fc
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width, depth, _, dropout_rate = PARAMS[self.model_name]
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, epsilon=BN_EPS, momentum=0.99, name=name)
+
+        stem = round_filters(32, width)
+        x = nn.Conv(stem, (3, 3), strides=2, padding="SAME", use_bias=False,
+                    name="stem_conv")(x)
+        x = nn.silu(bn("stem_bn")(x))
+
+        blocks = block_args(self.model_name)
+        n = len(blocks)
+        for i, (expand, kernel, stride, cin, cout) in enumerate(blocks):
+            x = MBConv(expand, kernel, stride, cin, cout,
+                       drop_rate=self.drop_connect_rate * i / n,
+                       name=f"block_{i}")(x, train=train)
+
+        head = round_filters(1280, width)
+        x = nn.Conv(head, (1, 1), use_bias=False, name="head_conv")(x)
+        x = nn.silu(bn("head_bn")(x))
+        x = jnp.mean(x, axis=(1, 2))  # global average pool → [B, head]
+        if self.feature_dropout:
+            x = nn.Dropout(dropout_rate, deterministic=not train)(x)
+        if self.num_classes is not None:
+            x = nn.Dense(self.num_classes, name="fc")(x)
+        return x
+
+
+def feature_dim(model_name: str = "efficientnet-b3") -> int:
+    width = PARAMS[model_name][0]
+    return round_filters(1280, width)
+
+
+# ------------------------------------------------------- weight porting
+
+def port_torch_state_dict(state_dict: Dict[str, Any],
+                          model_name: str = "efficientnet-b3"):
+    """Convert an ``efficientnet_pytorch`` state dict (tensor or ndarray
+    values) into (params, batch_stats) pytrees for :class:`EfficientNet`.
+
+    Mapping: torch OIHW conv weights → flax HWIO; depthwise OIHW(O=ch,I=1) →
+    HWIO(I=1, feature_group_count); BN weight/bias → scale/bias and
+    running_mean/var → batch_stats.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def conv_w(key):
+        w = sd[key]
+        return jnp.asarray(w.transpose(2, 3, 1, 0))  # OIHW -> HWIO
+
+    def dw_conv_w(key):
+        w = sd[key]  # [ch, 1, k, k]
+        return jnp.asarray(w.transpose(2, 3, 1, 0))  # -> [k, k, 1, ch]
+
+    def bn(prefix):
+        return (
+            {"scale": jnp.asarray(sd[f"{prefix}.weight"]),
+             "bias": jnp.asarray(sd[f"{prefix}.bias"])},
+            {"mean": jnp.asarray(sd[f"{prefix}.running_mean"]),
+             "var": jnp.asarray(sd[f"{prefix}.running_var"])},
+        )
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["stem_conv"] = {"kernel": conv_w("_conv_stem.weight")}
+    params["stem_bn"], stats["stem_bn"] = bn("_bn0")
+
+    n_blocks = len(block_args(model_name))
+    for i in range(n_blocks):
+        p: Dict[str, Any] = {}
+        s: Dict[str, Any] = {}
+        t = f"_blocks.{i}"
+        if f"{t}._expand_conv.weight" in sd:
+            p["expand_conv"] = {"kernel": conv_w(f"{t}._expand_conv.weight")}
+            p["bn0"], s["bn0"] = bn(f"{t}._bn0")
+        p["depthwise_conv"] = {"kernel": dw_conv_w(f"{t}._depthwise_conv.weight")}
+        p["bn1"], s["bn1"] = bn(f"{t}._bn1")
+        p["se_reduce"] = {"kernel": conv_w(f"{t}._se_reduce.weight"),
+                          "bias": jnp.asarray(sd[f"{t}._se_reduce.bias"])}
+        p["se_expand"] = {"kernel": conv_w(f"{t}._se_expand.weight"),
+                          "bias": jnp.asarray(sd[f"{t}._se_expand.bias"])}
+        p["project_conv"] = {"kernel": conv_w(f"{t}._project_conv.weight")}
+        p["bn2"], s["bn2"] = bn(f"{t}._bn2")
+        params[f"block_{i}"] = p
+        stats[f"block_{i}"] = s
+
+    params["head_conv"] = {"kernel": conv_w("_conv_head.weight")}
+    params["head_bn"], stats["head_bn"] = bn("_bn1")
+    if "_fc.weight" in sd and sd["_fc.weight"].ndim == 2:
+        params["fc"] = {"kernel": jnp.asarray(sd["_fc.weight"].T),
+                        "bias": jnp.asarray(sd["_fc.bias"])}
+    return params, stats

@@ -1,0 +1,150 @@
+"""Fusion classifier training/eval loops (the reference's ``net_utils.py`` +
+``main.py`` workload, TPU-first).
+
+Semantics preserved: CrossEntropy loss, SGD(lr=1e-3, wd=1e-4)
+(``main.py:134-135``), epoch loss = mean of batch losses
+(``net_utils.py:34``), early stopping on val loss with the counter-to-zero
+rule, test() → (accuracy, classification_report digits=5)
+(``net_utils.py:86-127``).  TPU-first: forward+backward+SGD+BN-stat update is
+one jitted step; batches stream through the device input pipeline; metrics
+accumulate on device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import metrics as M
+from ..core.early_stopping import EarlyStopping
+from ..core.optim import Optimizer, sgd
+from ..core.train_state import TrainState
+from ..models.fusion import MultiModalFusionNet
+
+BATCH_KEYS = ("image", "radiomics", "age", "sex", "loc", "artifacts")
+
+
+def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits)
+    return -jnp.mean(jnp.take_along_axis(logp, targets[:, None], axis=1))
+
+
+def init_fusion(model: MultiModalFusionNet, rng: jax.Array, batch: Dict):
+    kwargs = {k: batch[k] for k in BATCH_KEYS if k in batch}
+    variables = model.init({"params": rng, "dropout": rng}, **kwargs, train=False)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def fusion_optimizer(lr: float = 1e-3, weight_decay: float = 1e-4) -> Optimizer:
+    """The reference's optimizer: SGD without momentum (``main.py:135``)."""
+    return sgd(lr, momentum=0.0, weight_decay=weight_decay)
+
+
+def make_fusion_train_step(model: MultiModalFusionNet, optimizer: Optimizer):
+    """jitted (state, batch_stats, batch, key) →
+    (state, batch_stats, loss, n_correct)."""
+
+    @jax.jit
+    def step(state: TrainState, batch_stats, batch, key):
+        def loss_fn(params):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(
+                variables,
+                **{k: batch[k] for k in BATCH_KEYS if k in batch},
+                train=True, rngs={"dropout": key},
+                mutable=["batch_stats"] if batch_stats else [],
+            )
+            logits, mutated = out if isinstance(out, tuple) else (out, {})
+            loss = cross_entropy(logits, batch["target"])
+            return loss, (logits, mutated.get("batch_stats", batch_stats))
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, optimizer)
+        correct = jnp.sum(jnp.argmax(logits, axis=1) == batch["target"])
+        return new_state, new_stats, loss, correct
+
+    return step
+
+
+def make_fusion_eval_step(model: MultiModalFusionNet):
+    """jitted (params, batch_stats, batch) → (loss, logits)."""
+
+    @jax.jit
+    def step(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = model.apply(
+            variables, **{k: batch[k] for k in BATCH_KEYS if k in batch},
+            train=False)
+        return cross_entropy(logits, batch["target"]), logits
+
+    return step
+
+
+def train_epoch(step_fn, state, batch_stats, loader, rng_stream, logger=None,
+                epoch: int = 0):
+    """One train epoch → (state, batch_stats, epoch_loss, epoch_acc)."""
+    losses, correct, total = [], 0, 0
+    for batch in loader:
+        state, batch_stats, loss, ncorr = step_fn(
+            state, batch_stats, batch, rng_stream.next())
+        losses.append(loss)
+        correct += int(ncorr)
+        total += int(batch["target"].shape[0])
+    epoch_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+    epoch_acc = correct / max(total, 1)
+    if logger is not None:
+        logger.log("train/epoch_loss", epoch_loss, step=epoch)
+        logger.log("train/epoch_acc", epoch_acc, step=epoch)
+        if "weights" in state.params:  # fusion weights, net_utils.py:40-43
+            for i, w in enumerate(np.asarray(state.params["weights"]).tolist()):
+                logger.log(f"model/fusion_weight_modality_{i}", w, step=epoch)
+        logger.print(f"Epoch {epoch} - Train Loss: {epoch_loss:.4f}, "
+                     f"Accuracy: {epoch_acc:.4f}")
+    return state, batch_stats, epoch_loss, epoch_acc
+
+
+def validate_epoch(eval_fn, params, batch_stats, loader, logger=None,
+                   epoch: int = 0) -> float:
+    losses, correct, total = [], 0, 0
+    for batch in loader:
+        loss, logits = eval_fn(params, batch_stats, batch)
+        losses.append(float(loss))
+        correct += int(jnp.sum(jnp.argmax(logits, axis=1) == batch["target"]))
+        total += int(batch["target"].shape[0])
+    epoch_loss = float(np.mean(losses)) if losses else float("nan")
+    if logger is not None:
+        logger.log("val/epoch_loss", epoch_loss, step=epoch)
+        logger.log("val/epoch_acc", correct / max(total, 1), step=epoch)
+        logger.print(f"Epoch {epoch} - Val Loss: {epoch_loss:.4f}, "
+                     f"Accuracy: {correct / max(total, 1):.4f}")
+    return epoch_loss
+
+
+def evaluate_test(eval_fn, params, batch_stats, loader, logger=None,
+               num_classes: int = 7) -> Tuple[float, str]:
+    """→ (accuracy, classification_report) matching ``net_utils.py:86-127``."""
+    preds, targets = [], []
+    for batch in loader:
+        _, logits = eval_fn(params, batch_stats, batch)
+        preds.append(np.asarray(jnp.argmax(logits, axis=1)))
+        targets.append(np.asarray(batch["target"]))
+    y_pred = np.concatenate(preds)
+    y_true = np.concatenate(targets)
+    acc = float(np.mean(y_pred == y_true))
+    bacc = float(M.balanced_accuracy(y_true, y_pred, num_classes))
+    report = M.classification_report(y_true, y_pred, digits=5)
+    if logger is not None:
+        logger.assign("test/accuracy", acc)
+        logger.assign("test/balanced_accuracy", bacc)
+        logger.assign("test/classification_report", report)
+        logger.print(f"Test Accuracy: {acc:.4f}")
+        logger.print("Classification Report:\n" + report)
+    return acc, report
