@@ -1,0 +1,101 @@
+"""CLI: conv-MAE pretraining (reference ``train_ae.py``).
+
+    python -m multimodal_isic_tpu.cli.train_ae --config_path config.yml
+
+Workload: manifests → StratifiedKFold(10) fold select → weighted-resampled
+train loader (MAE train policy) / eval loaders → AdamW with encoder/decoder
+LR split → train at ``masking_ratio`` (optionally lesion-guided), validate at
+``eval_masking_ratio`` → save best-val weights under a fresh hex name
+(``train_ae.py:206-215``) plus a resumable checkpoint; every 10 epochs latent
+patch-moment diagnostics to the run dir.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import jax
+import numpy as np
+import pandas as pd
+
+from ..analysis.latents import concat_patch_moments
+from ..core import checkpoint as ckpt
+from ..core.rng import RngPool
+from ..core.splits import StratifiedKFold, weighted_sample_indices
+from ..data import DermRecords, DeviceLoader, augment
+from ..models.convmae import convmae_convvit_base_patch16_dec512d8b
+from ..train.mae import init_mae, make_encoder_step, train_mae
+from ..utils.logging import RunLogger
+from .common import parse_config
+
+
+def main(argv=None) -> None:
+    config = parse_config(argv)
+    params_cfg = config["training_plan"]["parameters"]
+    seed = config["seed"]
+    pool = RngPool(seed)
+
+    df_train_val = pd.read_pickle(config["dir"]["df"])
+    df_test = pd.read_pickle(config["dir"]["df_test"])
+
+    kf = StratifiedKFold(n_splits=10, shuffle=True, random_state=seed)
+    folds = list(kf.split(df_train_val, df_train_val["dx"]))
+    train_idx, val_idx = folds[params_cfg["fold"]]
+    df_train = df_train_val.iloc[train_idx]
+    df_val = df_train_val.iloc[val_idx]
+
+    train_records = DermRecords(df_train)
+    val_records = DermRecords(df_val)
+    batch_size = params_cfg["batch_size"]
+    sampler_rng = np.random.RandomState(seed)
+
+    def train_batches(epoch):
+        order = weighted_sample_indices(
+            df_train["dx"].values.astype(int), None, sampler_rng)
+        return DeviceLoader(train_records, batch_size, order=order,
+                            transform=augment.POLICIES["mae_train"],
+                            rng_stream=pool["augment"], drop_last=True)
+
+    def val_batches():
+        return DeviceLoader(val_records, 64,
+                            transform=augment.POLICIES["mae_eval"])
+
+    model = convmae_convvit_base_patch16_dec512d8b(
+        norm_pix_loss=params_cfg["norm_pix_loss"])
+    params = init_mae(model, pool["init"].next())
+    logger = RunLogger(config.get("log_dir", "runs"), config=config.to_dict())
+    encoder_step = make_encoder_step(model)
+
+    def epoch_hook(epoch, cur_params):
+        if epoch % 10 == 0 or epoch == params_cfg["epochs"] - 1:
+            feats, targets = [], []
+            for batch in val_batches():
+                latent, _ = encoder_step(cur_params, batch["image"])
+                feats.append(np.asarray(concat_patch_moments(latent)))
+                targets.append(np.asarray(batch["target"]))
+            np.savez(logger.artifact_path(f"latent_moments_ep{epoch}.npz"),
+                     feats=np.concatenate(feats), targets=np.concatenate(targets))
+
+    result = train_mae(
+        model, params, train_batches, val_batches,
+        num_epochs=params_cfg["epochs"],
+        mask_ratio=params_cfg["masking_ratio"],
+        eval_mask_ratio=params_cfg["eval_masking_ratio"],
+        rng=pool["train"].next(),
+        use_lesion_mask=params_cfg["include_lesion_mask"],
+        logger=logger,
+        checkpoint_dir=os.path.join(config["model_path"], "mae_ckpt"),
+        epoch_hook=epoch_hook,
+    )
+
+    os.makedirs(config["model_path"], exist_ok=True)
+    model_path = os.path.join(config["model_path"], f"{uuid.uuid4().hex}")
+    ckpt.save_checkpoint(model_path, result["best_params"],
+                         metadata={"val_loss": result["best_val_loss"]})
+    logger.assign("best_model_path", model_path)
+    logger.print(f"Saved Best Model at {model_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""CLI: MIL hyperparameter search (reference ``tune_mil.py``).
+
+    python -m multimodal_isic_tpu.cli.tune_mil --config_path config.yml \
+        [--model_type mil|graph-mil] [--num_samples 1000] [--max_epochs 200] \
+        [--patience 16] [--patch_df <pkl>]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import pandas as pd
+
+from ..analysis.bags import build_patient_bags
+from ..hpo import ASHAScheduler, GRAPH_MIL_SPACE, MIL_SPACE, run_search
+from ..train.mil import train_graph_mil, train_mil
+from .common import parse_config
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    # defaults mirror the reference's hard-coded Namespace (tune_mil.py:26-41)
+    parser.add_argument("--model_type", choices=["mil", "graph-mil"],
+                        default="graph-mil")
+    parser.add_argument("--num_samples", type=int, default=1000)
+    parser.add_argument("--max_epochs", type=int, default=200)
+    parser.add_argument("--patience", type=int, default=16)
+    parser.add_argument("--grace_period", type=int, default=10)
+    parser.add_argument("--reduction_factor", type=int, default=2)
+    parser.add_argument("--patch_df", type=str,
+                        default="dataframes_latents/patch_level_latents_train_df.pkl")
+    parser.add_argument("--test_patch_df", type=str, default="")
+    parser.add_argument("--output_dir", type=str, default="hpo_out")
+    args, rest = parser.parse_known_args(argv)
+    config = parse_config(rest)
+
+    patch_df = pd.read_pickle(args.patch_df)
+    bags, labels, _ = build_patient_bags(patch_df)
+    data = {"train_feats": bags, "train_labels": labels}
+    if args.test_patch_df:
+        te_df = pd.read_pickle(args.test_patch_df)
+        te_bags, te_labels, _ = build_patient_bags(te_df)
+        data.update({"test_feats": te_bags, "test_labels": te_labels})
+
+    trainable = train_graph_mil if args.model_type == "graph-mil" else train_mil
+    space = GRAPH_MIL_SPACE if args.model_type == "graph-mil" else MIL_SPACE
+    scheduler = ASHAScheduler(metric="val_bacc", mode="max",
+                              grace_period=args.grace_period,
+                              reduction_factor=args.reduction_factor,
+                              max_t=args.max_epochs)
+    out = run_search(trainable, space, data,
+                     num_samples=args.num_samples,
+                     scheduler=scheduler, seed=config["seed"],
+                     max_epochs=args.max_epochs, patience=args.patience,
+                     num_classes=int(config.get("num_classes", 7)),
+                     output_dir=args.output_dir)
+    print("Best config:", out["best_config"])
+    print("Best val_bacc:", out["best_trial"].final["val_bacc"])
+
+
+if __name__ == "__main__":
+    main()

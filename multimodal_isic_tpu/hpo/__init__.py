@@ -1,0 +1,6 @@
+from .asha import ASHAScheduler  # noqa: F401
+from .runner import Trial, TrialStopped, run_search  # noqa: F401
+from .space import (  # noqa: F401
+    GRAPH_MIL_SPACE, MIL_SPACE, Choice, LogUniform, QRandInt, Uniform,
+    sample_config,
+)

@@ -1,0 +1,125 @@
+"""HPO runner: the ``tune.run`` replacement (``tune_mil.py:243-274``).
+
+Samples configs from a space, runs each trial's trainable with an
+ASHA-governed per-epoch report hook, collects a results table, and persists
+the best config/trial (timestamped CSV + YAML, as the reference does).
+Trials execute sequentially on the chip — the reference's fractional-GPU
+trial packing (``PER_PROC_GPU_MEM_FRACTION``) has no TPU analogue; a single
+jitted trial already saturates the chip, and cross-trial parallelism slots in
+at the mesh level when more chips are present.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import yaml
+
+from .asha import ASHAScheduler
+from .space import sample_config
+
+
+class TrialStopped(Exception):
+    """Raised inside the report hook to halt a trial early (ASHA stop)."""
+
+
+@dataclass
+class Trial:
+    trial_id: str
+    config: Dict[str, Any]
+    reports: List[Dict[str, float]] = field(default_factory=list)
+    final: Optional[Dict[str, float]] = None
+    stopped_early: bool = False
+    wall_s: float = 0.0
+
+
+def run_search(
+    trainable: Callable,
+    space: Dict[str, Any],
+    data: Dict,
+    num_samples: int = 16,
+    metric: str = "val_bacc",
+    mode: str = "max",
+    scheduler: Optional[ASHAScheduler] = None,
+    seed: int = 42,
+    max_epochs: int = 50,
+    patience: int = 8,
+    num_classes: int = 7,
+    output_dir: Optional[str] = None,
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """→ {best_config, best_trial, results (DataFrame), trials}."""
+    rng = np.random.RandomState(seed)
+    scheduler = scheduler or ASHAScheduler(metric=metric, mode=mode,
+                                           max_t=max_epochs)
+    trials: List[Trial] = []
+
+    for i in range(num_samples):
+        config = sample_config(space, rng)
+        trial = Trial(trial_id=f"trial_{i:05d}", config=config)
+        epoch_counter = {"n": 0}
+
+        def report_fn(result: Dict[str, float]):
+            is_final = "test_bacc" in result or "val_macro_p" not in result
+            trial.reports.append(result)
+            if "val_macro_p" in result:  # per-epoch report
+                epoch_counter["n"] += 1
+                decision = scheduler.on_result(
+                    trial.trial_id, epoch_counter["n"], result)
+                if decision == "stop":
+                    trial.stopped_early = True
+                    raise TrialStopped
+            else:  # final report
+                trial.final = result
+
+        t0 = time.time()
+        try:
+            final = trainable(config, data, seed=seed, num_classes=num_classes,
+                              patience=patience, max_epochs=max_epochs,
+                              report_fn=report_fn)
+            if trial.final is None:
+                trial.final = {k: v for k, v in final.items()
+                               if not k.startswith("_")}
+        except TrialStopped:
+            # best-so-far summary from per-epoch reports (Ray keeps the last)
+            per_epoch = [r for r in trial.reports if "val_macro_p" in r]
+            vals = [r[metric] for r in per_epoch]
+            best = int(np.nanargmax(vals) if mode == "max" else np.nanargmin(vals))
+            trial.final = {metric: per_epoch[best][metric],
+                           "val_loss": per_epoch[best].get("val_loss", np.nan)}
+        trial.wall_s = time.time() - t0
+        trials.append(trial)
+        if verbose:
+            print(f"{trial.trial_id}: {metric}="
+                  f"{trial.final.get(metric, float('nan')):.4f}"
+                  f"{' (stopped early)' if trial.stopped_early else ''}"
+                  f" [{trial.wall_s:.1f}s]", flush=True)
+
+    rows = []
+    for t in trials:
+        row = {"trial_id": t.trial_id, "stopped_early": t.stopped_early,
+               "wall_s": t.wall_s, **{f"config/{k}": v for k, v in t.config.items()},
+               **(t.final or {})}
+        rows.append(row)
+    results = pd.DataFrame(rows)
+
+    vals = results[metric].astype(float)
+    best_idx = int(vals.idxmax() if mode == "max" else vals.idxmin())
+    best_trial = trials[best_idx]
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        results.to_csv(os.path.join(output_dir, f"hpo_results_{stamp}.csv"),
+                       index=False)
+        with open(os.path.join(output_dir, f"best_config_{stamp}.yml"), "w") as f:
+            yaml.safe_dump({"best_config": best_trial.config,
+                            "best_" + metric: float(best_trial.final[metric])}, f)
+
+    return {"best_config": best_trial.config, "best_trial": best_trial,
+            "results": results, "trials": trials}

@@ -1,0 +1,105 @@
+"""Graph builders for patch-bag MIL (dense-adjacency, TPU-idiomatic).
+
+Reproduces the reference's three builders (``utils_g_mil.py:495-605``) —
+grid (4-neighborhood ± diagonals, self loops, row-normalized D⁻¹A), feature
+kNN, and random-degree — but as dense [N, N] adjacencies: at N = 196 patch
+nodes, dense matmul message passing is the TPU-native formulation (SURVEY.md
+§2.2); ``edge_index`` conversion is provided for API parity.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def build_grid_adj(num_nodes: int, connect_diagonals: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(adj_norm = D⁻¹(A+I) row-normalized, adj_mask binary incl. self loops)
+    — exact semantics of ``utils_g_mil.py:495-520`` (cached like the
+    reference's module-level cache)."""
+    s = int(np.sqrt(num_nodes))
+    if s * s != num_nodes:
+        raise ValueError("num_nodes must be a perfect square to build grid adjacency")
+    idx = np.arange(num_nodes).reshape(s, s)
+    adj = np.zeros((num_nodes, num_nodes), np.float32)
+    offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connect_diagonals:
+        offsets += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    for dr, dc in offsets:
+        rr = np.arange(s)
+        for r in range(s):
+            for c in range(s):
+                r2, c2 = r + dr, c + dc
+                if 0 <= r2 < s and 0 <= c2 < s:
+                    adj[idx[r, c], idx[r2, c2]] = 1.0
+    adj = adj + np.eye(num_nodes, dtype=np.float32)
+    deg = adj.sum(axis=1)
+    adj_norm = adj / deg[:, None]
+    # cache plain numpy: jnp arrays created inside a jit trace are tracers and
+    # must not be memoized across traces
+    return adj_norm, (adj > 0).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def build_knn_adj(x: jnp.ndarray, k: int = 8) -> jnp.ndarray:
+    """Directed kNN adjacency mask [N, N] from node features (squared
+    euclidean, self excluded) — the dense form of ``build_knn_edge_index``
+    (``utils_g_mil.py:527-546``)."""
+    n = x.shape[0]
+    x2 = (x ** 2).sum(axis=1)
+    d2 = x2[:, None] + x2[None, :] - 2.0 * (x @ x.T)
+    d2 = jnp.maximum(d2, 0.0)
+    d2 = d2.at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
+    kk = min(k, n - 1)
+    _, nbr = jax.lax.top_k(-d2, kk)  # smallest distances
+    adj = jnp.zeros((n, n))
+    return adj.at[jnp.arange(n)[:, None], nbr].set(1.0)
+
+
+def build_random_adj(key: jax.Array, num_nodes: int, k: int = 4) -> jnp.ndarray:
+    """Each node samples ≤k distinct non-self targets; symmetrized
+    (``utils_g_mil.py:581-602``)."""
+    keys = jax.random.split(key, num_nodes)
+
+    def row(i, key):
+        perm = jax.random.permutation(key, num_nodes)
+        # drop self by shifting it to the end then taking first k non-self
+        scores = jnp.where(perm == i, num_nodes + 1, jnp.arange(num_nodes))
+        order = jnp.argsort(scores)
+        chosen = perm[order[:k]]
+        return jnp.zeros(num_nodes).at[chosen].set(1.0)
+
+    adj = jax.vmap(row)(jnp.arange(num_nodes), keys)
+    adj = jnp.maximum(adj, adj.T)  # undirected
+    return adj.at[jnp.arange(num_nodes), jnp.arange(num_nodes)].set(0.0)
+
+
+def build_graph(x: jnp.ndarray, graph_type: str = "grid",
+                k: Optional[int] = None, connect_diagonals: bool = False,
+                key: Optional[jax.Array] = None):
+    """Dispatch matching ``build_graph`` (``utils_g_mil.py:549-605``):
+    → (adj_norm or None, adj_mask [N, N]).  For 'grid' both are returned; for
+    'knn'/'random' the mask alone (the reference passes edge_index only)."""
+    n = x.shape[0]
+    if graph_type == "grid":
+        return build_grid_adj(n, connect_diagonals)
+    if graph_type == "knn":
+        return None, build_knn_adj(x, 8 if k is None else int(k))
+    if graph_type == "random":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return None, build_random_adj(key, n, 4 if k is None else int(k))
+    raise ValueError(
+        f"Unsupported graph_type='{graph_type}'. Supported types: 'grid', 'knn'.")
+
+
+def adj_to_edge_index(adj_mask) -> np.ndarray:
+    """[2, E] edge list (row-major order) for reference-API parity."""
+    src, dst = np.nonzero(np.asarray(adj_mask))
+    return np.stack([src, dst])

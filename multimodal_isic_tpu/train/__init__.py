@@ -1,0 +1,1 @@
+from . import fusion, mae, mil  # noqa: F401

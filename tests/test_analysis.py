@@ -1,0 +1,175 @@
+"""PCA / k-means / cluster stats / latent pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import sklearn.decomposition as skd
+import sklearn.manifold as skm
+
+from multimodal_isic_tpu.analysis import cluster as C
+from multimodal_isic_tpu.analysis import kmeans as KM
+from multimodal_isic_tpu.analysis import pca as P
+from multimodal_isic_tpu.analysis.latent_pipeline import (
+    LatentBundle, apply_pca, bundle_to_frames, patch_table, table_to_frame,
+)
+
+
+# --------------------------------------------------------------------- PCA
+
+def test_pca_matches_sklearn(rng):
+    x = rng.randn(200, 12).astype(np.float32) @ rng.randn(12, 12).astype(np.float32)
+    ours = P.fit(x, n_components=5)
+    theirs = skd.PCA(n_components=5).fit(x.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(ours.explained_variance),
+                               theirs.explained_variance_, rtol=1e-3)
+    # components equal up to sign
+    for i in range(5):
+        a = np.asarray(ours.components[i])
+        b = theirs.components_[i]
+        assert min(np.abs(a - b).max(), np.abs(a + b).max()) < 1e-3
+    # transforms agree up to per-component sign
+    za = np.asarray(P.transform(ours, x))
+    zb = theirs.transform(x.astype(np.float64))
+    for i in range(5):
+        assert min(np.abs(za[:, i] - zb[:, i]).max(),
+                   np.abs(za[:, i] + zb[:, i]).max()) < 1e-2
+
+
+def test_pca_fractional_components_rule(rng):
+    x = rng.randn(300, 20).astype(np.float32)
+    x[:, :3] *= 10  # 3 dominant directions
+    ours = P.fit(x, n_components=0.90)
+    theirs = skd.PCA(n_components=0.90).fit(x.astype(np.float64))
+    assert ours.components.shape[0] == theirs.n_components_
+
+
+def test_pca_roundtrip(rng):
+    x = rng.randn(50, 8).astype(np.float32)
+    state = P.fit(x, None)
+    back = np.asarray(P.inverse_transform(state, P.transform(state, x)))
+    np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+# ------------------------------------------------------------------ kmeans
+
+def test_kmeans_recovers_separated_clusters(rng):
+    centers = np.array([[0, 0], [10, 0], [0, 10]], np.float32)
+    x = np.concatenate([c + rng.randn(50, 2).astype(np.float32) * 0.3
+                        for c in centers])
+    state, labels = KM.fit_best_of(jax.random.PRNGKey(0), x, k=3)
+    labels = np.asarray(labels)
+    # all three blobs pure
+    for i in range(3):
+        blob = labels[i * 50:(i + 1) * 50]
+        assert len(np.unique(blob)) == 1
+    assert len(np.unique(labels)) == 3
+    # centers near the truth
+    found = np.sort(np.asarray(state.centers), axis=0)
+    np.testing.assert_allclose(found, np.sort(centers, axis=0), atol=0.3)
+
+
+def test_kmeans_predict_consistent(rng):
+    x = rng.randn(100, 5).astype(np.float32)
+    state, labels = KM.fit(jax.random.PRNGKey(1), x, k=4)
+    np.testing.assert_array_equal(np.asarray(KM.predict(state, x)),
+                                  np.asarray(labels))
+
+
+# ------------------------------------------------------------ cluster stats
+
+def test_cluster_purity_stats_match_reference_loops(rng):
+    n, nc = 60, 4
+    clusters = rng.randint(-1, 5, n)  # includes noise -1
+    targets = rng.randint(0, nc, n)
+    stats = C.cluster_purity_stats(clusters, targets, nc)
+
+    # loop oracle mirroring cluster_latents.py:67-92
+    same = np.zeros(n, int)
+    other = np.zeros(n, int)
+    for cl in np.unique(clusters[clusters >= 0]):
+        idx = np.where(clusters == cl)[0]
+        for i in idx:
+            s = np.sum(targets[idx] == targets[i]) - 1
+            same[i] = s
+            other[i] = len(idx) - s - 1
+    np.testing.assert_array_equal(stats["cluster_same_count"], same)
+    np.testing.assert_array_equal(stats["cluster_other_count"], other)
+    expect_prop = (same + 1e-8) / (same + other + 1e-8)
+    np.testing.assert_allclose(stats["cluster_prop_same"], expect_prop)
+
+
+def test_weighted_purity_and_filter(rng):
+    n, nc = 80, 3
+    clusters = rng.randint(0, 6, n)
+    targets = rng.randint(0, nc, n)
+    weights = C.patient_class_weights(rng.randint(0, nc, 40), nc)
+    stats = C.cluster_purity_stats(clusters, targets, nc, class_weights=weights)
+
+    # loop oracle mirroring cluster_latents.py:105-124
+    for i in rng.choice(n, 10, replace=False):
+        idx = np.where(clusters == clusters[i])[0]
+        ws = (np.sum(targets[idx] == targets[i]) - 1) * weights[targets[i]]
+        wo = sum(np.sum(targets[idx] == c) * weights[c]
+                 for c in range(nc) if c != targets[i])
+        expect = (ws + 1e-8) / (ws + wo + 1e-8)
+        assert stats["cluster_prop_same_weighted"][i] == pytest.approx(expect)
+
+    keep, thr = C.filter_low_purity_clusters(stats, percentile=10)
+    assert keep.sum() > 0
+    dropped_purity = stats["cluster_prop_same_weighted"][~keep]
+    assert (dropped_purity < thr).all()
+
+
+def test_trustworthiness_matches_sklearn(rng):
+    x = rng.randn(40, 6)
+    emb = x[:, :2] + 0.05 * rng.randn(40, 2)
+    ours = C.trustworthiness(x, emb, n_neighbors=5)
+    theirs = skm.trustworthiness(x, emb, n_neighbors=5)
+    assert ours == pytest.approx(theirs, abs=1e-9)
+
+
+# ---------------------------------------------------------- latent pipeline
+
+def _bundle(rng, n=6, p=16, d=8):
+    ids = np.stack([rng.permutation(p) for _ in range(n)])
+    # mask_ratio=0 actually gives identity order; use identity for realism
+    ids = np.tile(np.arange(p), (n, 1))
+    return LatentBundle(
+        latents=rng.randn(n, p, d).astype(np.float32),
+        pooled_max=rng.randn(n, d).astype(np.float32),
+        pooled_mean=rng.randn(n, d).astype(np.float32),
+        ids_restore=ids,
+        lesion_overlap=rng.rand(n, p) > 0.6,
+        targets=rng.randint(0, 7, n),
+        image_paths=[f"img{i}.jpg" for i in range(n)],
+        segmentation_paths=[f"seg{i}.png" for i in range(n)],
+    )
+
+
+def test_patch_table_and_background_removal(rng):
+    b = _bundle(rng)
+    full = patch_table(b, remove_background=False)
+    assert full["patch_latent"].shape == (6 * 16, 8)
+    np.testing.assert_array_equal(
+        full["patch_in_mask"].reshape(6, 16), b.lesion_overlap.astype(int))
+    kept = patch_table(b, remove_background=True)
+    assert len(kept["patch_id"]) == int(b.lesion_overlap.sum())
+    assert kept["patch_in_mask"].all()
+
+
+def test_apply_pca_and_frames(rng):
+    b = _bundle(rng, n=8)
+    tr = patch_table(b, False)
+    te = patch_table(b, False)
+    tr2, te2, state = apply_pca(tr, te, variance=0.90)
+    assert tr2["patch_latent_pca"].shape[1] == state.components.shape[0]
+    frame = table_to_frame(tr2, b)
+    assert set(frame.columns) == {"image_path", "segmentation_path", "target",
+                                  "patch_id", "patch_latent", "patch_in_mask",
+                                  "patch_latent_pca"}
+    pooled, raw = bundle_to_frames(b)
+    assert list(pooled.columns) == ["image_path", "segmentation_path", "target",
+                                    "latent_pooled_max", "latent_pooled_mean",
+                                    "ids_restore"]
+    assert raw["lesion_mask_patches"].iloc[0].shape == (4, 4)
