@@ -55,6 +55,7 @@ class Mlp(nn.Module):
 class Attention(nn.Module):
     dim: int
     num_heads: int
+    use_flash: bool = False  # blockwise Pallas kernel (ops.attention)
 
     @nn.compact
     def __call__(self, x):
@@ -63,10 +64,17 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3)(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, hd]
-        q = q * (1.0 / math.sqrt(head_dim))
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
+        if self.use_flash:
+            from ..ops.attention import flash_attention
+            out = flash_attention(q.transpose(0, 2, 1, 3),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3))
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        else:
+            q = q * (1.0 / math.sqrt(head_dim))
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
         return nn.Dense(self.dim)(out)
 
 
@@ -75,10 +83,12 @@ class Block(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = x + Attention(self.dim, self.num_heads)(nn.LayerNorm()(x))
+        x = x + Attention(self.dim, self.num_heads,
+                          use_flash=self.use_flash)(nn.LayerNorm()(x))
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim)(nn.LayerNorm()(x))
         return x
 
@@ -151,6 +161,7 @@ class ConvMAE(nn.Module):
     decoder_heads: int = 16
     norm_pix_loss: bool = False
     with_decoder: bool = True
+    use_flash_attention: bool = False  # Pallas blockwise attention for the ViT
 
     @property
     def grid(self) -> int:
@@ -173,7 +184,8 @@ class ConvMAE(nn.Module):
         self.pos_embed = self.param(
             "pos_embed", lambda key, shape: sincos_pos_embed(d2, self.grid),
             (self.num_patches, d2))
-        self.vit = [Block(d2, self.num_heads) for _ in range(self.depths[2])]
+        self.vit = [Block(d2, self.num_heads, use_flash=self.use_flash_attention)
+                    for _ in range(self.depths[2])]
         self.encoder_norm = nn.LayerNorm()
         if self.with_decoder:
             self.decoder_embed = nn.Dense(self.decoder_dim)
