@@ -39,6 +39,14 @@ def main(argv=None) -> None:
     df_train_val = pd.read_pickle(config["dir"]["df"])
     df_test = pd.read_pickle(config["dir"]["df_test"])
 
+    if config["dir"].get("isic2019_csv"):  # optional extra pretraining data
+        from ..data.manifest import merge_isic2019
+        df_train_val = merge_isic2019(
+            df_train_val, df_test,
+            pd.read_csv(config["dir"]["isic2019_csv"]),
+            pd.read_csv(config["dir"]["isic2019_gt"]),
+            config["dir"]["isic2019_img"])
+
     kf = StratifiedKFold(n_splits=10, shuffle=True, random_state=seed)
     folds = list(kf.split(df_train_val, df_train_val["dx"]))
     train_idx, val_idx = folds[params_cfg["fold"]]
@@ -61,21 +69,46 @@ def main(argv=None) -> None:
         return DeviceLoader(val_records, 64,
                             transform=augment.POLICIES["mae_eval"])
 
-    model = convmae_convvit_base_patch16_dec512d8b(
-        norm_pix_loss=params_cfg["norm_pix_loss"])
+    if params_cfg.get("model_size", "base") == "tiny":
+        from ..models.convmae import ConvMAE
+        model = ConvMAE(embed_dims=(32, 48, 64), depths=(1, 1, 2), num_heads=4,
+                        decoder_dim=32, decoder_depth=1, decoder_heads=4,
+                        norm_pix_loss=params_cfg["norm_pix_loss"])
+    else:
+        model = convmae_convvit_base_patch16_dec512d8b(
+            norm_pix_loss=params_cfg["norm_pix_loss"])
     params = init_mae(model, pool["init"].next())
     logger = RunLogger(config.get("log_dir", "runs"), config=config.to_dict())
     encoder_step = make_encoder_step(model)
 
     def epoch_hook(epoch, cur_params):
         if epoch % 10 == 0 or epoch == params_cfg["epochs"] - 1:
+            from ..utils.viz import latent_scatter, reconstruction_grid
             feats, targets = [], []
             for batch in val_batches():
                 latent, _ = encoder_step(cur_params, batch["image"])
                 feats.append(np.asarray(concat_patch_moments(latent)))
                 targets.append(np.asarray(batch["target"]))
+            feats = np.concatenate(feats)
+            targets = np.concatenate(targets)
             np.savez(logger.artifact_path(f"latent_moments_ep{epoch}.npz"),
-                     feats=np.concatenate(feats), targets=np.concatenate(targets))
+                     feats=feats, targets=targets)
+            latent_scatter(feats, targets,
+                           logger.artifact_path(f"latent_scatter_ep{epoch}.png"),
+                           title=f"MomentsConcat scatter (epoch {epoch})",
+                           seed=seed)
+            # reconstruction grids for 4 val samples (utils.py:94-148)
+            batch = next(iter(val_batches()))
+            for i in range(min(4, batch["image"].shape[0])):
+                img = batch["image"][i:i + 1]
+                _, pred, msk = model.apply(
+                    {"params": cur_params}, img,
+                    mask_ratio=params_cfg["masking_ratio"],
+                    rng=jax.random.PRNGKey(epoch))
+                reconstruction_grid(
+                    np.asarray(img)[0], np.asarray(pred)[0], np.asarray(msk)[0],
+                    logger.artifact_path(f"image_comparison_{i + 1}_ep{epoch}.png"),
+                    norm_pix_loss=params_cfg["norm_pix_loss"])
 
     result = train_mae(
         model, params, train_batches, val_batches,

@@ -62,6 +62,11 @@ class DirConfig(_DictAccess):
     # we give them first-class config slots)
     latents: str = ""
     latents_test: str = ""
+    # optional ISIC2019 augmentation for MAE pretraining (the reference
+    # hard-codes these paths at train_ae.py:43-45)
+    isic2019_csv: str = ""
+    isic2019_img: str = ""
+    isic2019_gt: str = ""
 
 
 @dataclass(frozen=True)
@@ -79,6 +84,7 @@ class TrainParameters(_DictAccess):
     masking_ratio: float = 0.75
     eval_masking_ratio: float = 0.75
     include_lesion_mask: bool = False
+    model_size: str = "base"  # 'base' (ConvViT-B) | 'tiny' (tests/demos)
 
 
 @dataclass(frozen=True)

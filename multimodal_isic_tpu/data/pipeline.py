@@ -35,7 +35,8 @@ class DermRecords:
     ``staging_hw == (450, 450)``.
     """
 
-    def __init__(self, df, radiomics=None, staging_hw=(450, 450)):
+    def __init__(self, df, radiomics=None, staging_hw=(450, 450),
+                 use_native: Optional[bool] = None):
         import cv2  # local: host-only dependency
         self._cv2 = cv2
         self.df = df.reset_index(drop=True)
@@ -45,12 +46,22 @@ class DermRecords:
             if len(self.radiomics) != len(self.df):
                 raise ValueError("radiomics rows must align with manifest rows")
         self.staging_hw = staging_hw
+        if use_native is None:  # auto: use the C++ worker when built
+            from . import native_io
+            use_native = native_io.available()
+        self.use_native = use_native
 
     def __len__(self):
         return len(self.df)
 
     def read_image_mask(self, idx: int):
         import os
+        if self.use_native:
+            from . import native_io
+            row = self.df.iloc[idx]
+            return native_io.decode_crop(
+                row["image_path"], str(row["segmentation_path"]),
+                self.staging_hw)
         cv2 = self._cv2
         row = self.df.iloc[idx]
         bgr = cv2.imread(row["image_path"])

@@ -35,6 +35,7 @@ class Trial:
     reports: List[Dict[str, float]] = field(default_factory=list)
     final: Optional[Dict[str, float]] = None
     stopped_early: bool = False
+    error: str = ""
     wall_s: float = 0.0
 
 
@@ -52,6 +53,7 @@ def run_search(
     num_classes: int = 7,
     output_dir: Optional[str] = None,
     verbose: bool = True,
+    max_failures: int = 5,
 ) -> Dict[str, Any]:
     """→ {best_config, best_trial, results (DataFrame), trials}."""
     rng = np.random.RandomState(seed)
@@ -92,6 +94,17 @@ def run_search(
             best = int(np.nanargmax(vals) if mode == "max" else np.nanargmin(vals))
             trial.final = {metric: per_epoch[best][metric],
                            "val_loss": per_epoch[best].get("val_loss", np.nan)}
+        except Exception as e:  # failed trial -> NaN row, keep the sweep alive
+            trial.error = f"{type(e).__name__}: {e}"
+            trial.final = {metric: float("nan")}
+            n_failed = sum(1 for t in trials if t.error) + 1
+            if verbose:
+                print(f"{trial.trial_id} FAILED ({n_failed}/{max_failures}): "
+                      f"{trial.error}", flush=True)
+            if n_failed >= max_failures:  # reference: max_failures=5
+                trials.append(trial)
+                raise RuntimeError(
+                    f"aborting search after {n_failed} failed trials") from e
         trial.wall_s = time.time() - t0
         trials.append(trial)
         if verbose:

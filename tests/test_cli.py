@@ -123,3 +123,29 @@ def test_fetch_experiments_cli(workspace, capsys):
                             "--metric", "test/accuracy"])
     out = capsys.readouterr().out
     assert "runs" in out
+
+
+def test_train_ae_cli_tiny(workspace):
+    """MAE workload end-to-end with the tiny model (incl. viz artifacts)."""
+    import yaml
+    from multimodal_isic_tpu.cli import prepare_df, train_ae
+    root, cfg, dirs = workspace
+    if not os.path.exists(dirs["df"]):  # order-independent of the ETL test
+        prepare_df.main(["--config_path", cfg])
+    config = yaml.safe_load(open(cfg))
+    config["training_plan"]["parameters"].update(
+        {"epochs": 1, "batch_size": 8, "model_size": "tiny",
+         "masking_ratio": 0.75, "eval_masking_ratio": 0.5})
+    cfg_tiny = str(root / "config_tiny.yml")
+    open(cfg_tiny, "w").write(yaml.safe_dump(config))
+    train_ae.main(["--config_path", cfg_tiny])
+    # best model + resumable checkpoint persisted
+    model_dirs = os.listdir(root / "models")
+    assert any(len(d) == 32 for d in model_dirs)  # uuid4 hex dir
+    assert "mae_ckpt" in model_dirs
+    # viz artifacts written by the epoch hook
+    runs = sorted((root / "runs").iterdir())
+    arts = list((runs[-1] / "artifacts").iterdir())
+    names = {a.name for a in arts}
+    assert any(n.startswith("latent_scatter") for n in names)
+    assert any(n.startswith("image_comparison") for n in names)
