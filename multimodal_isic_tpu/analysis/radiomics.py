@@ -32,28 +32,20 @@ CHANNEL_SUFFIX = {"grayscale": "_gs", "red": "_red", "green": "_green",
 FEATURE_CLASSES = ("firstorder", "glcm", "glrlm", "glszm", "gldm", "ngtdm")
 
 
-def _single_channel_features(image: jnp.ndarray, mask: jnp.ndarray,
-                             bin_width: float, glrlm_max_len: int) -> Dict[str, jnp.ndarray]:
-    """All texture features for one channel image: filter bank × classes +
-    shape2D.  Pure function of (image [H, W] float32, mask [H, W])."""
-    out: Dict[str, jnp.ndarray] = {}
-    bank = FB.filter_bank(image)
-    for img_type, derived in bank.items():
-        levels, n_levels, low = T.discretize(derived, mask, bin_width)
-        groups = {
-            "firstorder": T.firstorder_features(derived, mask, bin_width),
-            "glcm": T.glcm_features(levels, mask, n_levels, bin_width, low),
-            "glrlm": T.glrlm_features(levels, mask, n_levels, glrlm_max_len),
-            "glszm": X.glszm_features(levels, mask, n_levels),
-            "gldm": X.gldm_features(levels, mask, n_levels),
-            "ngtdm": X.ngtdm_features(levels, mask, n_levels),
-        }
-        for cls, feats in groups.items():
-            for name, val in feats.items():
-                out[f"{img_type}_{cls}_{name}"] = val
-    for name, val in X.shape2d_features(mask).items():
-        out[f"original_shape2D_{name}"] = val
-    return out
+def _texture_bundle(derived: jnp.ndarray, mask: jnp.ndarray, bin_width: float,
+                    glrlm_max_len: int) -> Dict[str, jnp.ndarray]:
+    """All 6 texture feature classes for ONE derived image.  Kept as its own
+    jit unit: the same compiled program is reused across all 13 filter types
+    and 4 channels (one big fused graph took >10 min of XLA compile)."""
+    levels, n_levels, low = T.discretize(derived, mask, bin_width)
+    return {
+        "firstorder": T.firstorder_features(derived, mask, bin_width),
+        "glcm": T.glcm_features(levels, mask, n_levels, bin_width, low),
+        "glrlm": T.glrlm_features(levels, mask, n_levels, glrlm_max_len),
+        "glszm": X.glszm_features(levels, mask, n_levels),
+        "gldm": X.gldm_features(levels, mask, n_levels),
+        "ngtdm": X.ngtdm_features(levels, mask, n_levels),
+    }
 
 
 class RadiomicsExtractor:
@@ -67,9 +59,31 @@ class RadiomicsExtractor:
         self.label = label
         self.glrlm_max_len = glrlm_max_len
         self.batch = batch
-        self._jitted = jax.jit(jax.vmap(
-            lambda img, m: _single_channel_features(
-                img, m, self.bin_width, self.glrlm_max_len)))
+        # three modest jit units instead of one giant graph: the bundle is
+        # compiled once and reused 13 (filters) x 4 (channels) times.  The
+        # bundle returns ONE stacked [channels, n_feats] vector so the whole
+        # image costs a single device->host readback (per-scalar reads cost
+        # ~tens of ms each through the tunnel and dominated wall time).
+        self._bank = jax.jit(jax.vmap(FB.filter_bank))
+
+        def bundle(img, m):
+            feats = _texture_bundle(img, m, self.bin_width, self.glrlm_max_len)
+            return jnp.stack(jax.tree_util.tree_leaves(feats))  # sorted keys
+
+        self._bundle_vec = jax.jit(jax.vmap(bundle))
+        self._shape = jax.jit(X.shape2d_features)
+        # canonical feature-name order = jax's sorted-dict tree flattening
+        sample = jax.eval_shape(
+            lambda: _texture_bundle(jnp.zeros((8, 8)), jnp.zeros((8, 8), jnp.uint8),
+                                    self.bin_width, self.glrlm_max_len))
+        self._bundle_names = [
+            f"{path[0].key}_{path[1].key}"
+            for path, _ in jax.tree_util.tree_leaves_with_path(sample)]
+        shape_sample = jax.eval_shape(
+            lambda: X.shape2d_features(jnp.zeros((8, 8), jnp.uint8)))
+        self._shape_names = [
+            str(path[0].key)
+            for path, _ in jax.tree_util.tree_leaves_with_path(shape_sample)]
 
     # -- introspection parity (RadiomicExtractor.py:17-21)
     def get_enabled_image_types(self) -> List[str]:
@@ -90,12 +104,31 @@ class RadiomicsExtractor:
         chans = np.stack([gray, rgb[..., 0].astype(np.float32),
                           rgb[..., 1].astype(np.float32),
                           rgb[..., 2].astype(np.float32)])
-        m = np.broadcast_to((np.asarray(mask) == self.label).astype(np.uint8) * 255,
-                            (4, *mask.shape))
-        feats = self._jitted(jnp.asarray(chans), jnp.asarray(m))
-        host = {k: np.asarray(v) for k, v in feats.items()}
-        return {ch: {k: float(host[k][i]) for k in host}
-                for i, ch in enumerate(CHANNELS)}
+        m = jnp.asarray(np.broadcast_to(
+            (np.asarray(mask) == self.label).astype(np.uint8) * 255,
+            (4, *mask.shape)))
+        bank = self._bank(jnp.asarray(chans))  # dict: type -> [4, H, W]
+        img_types = sorted(bank)
+        # 13 async dispatches (they pipeline on device) but ONE stacked
+        # [13, 4, nf] readback per image — per-scalar reads through the
+        # tunnel cost tens of ms and previously dominated wall time.  A
+        # single 52-wide fused call measured SLOWER (GLSZM's while_loop runs
+        # to the slowest batch element and dispatch overlap is lost).
+        vecs = [self._bundle_vec(bank[t], m) for t in img_types]  # [4, nf]
+        stacked = np.asarray(jnp.stack(vecs))  # [13, 4, nf]
+        shape_vals = np.asarray(jnp.stack(jax.tree_util.tree_leaves(
+            self._shape(m[0]))))
+
+        out = {}
+        for i, ch in enumerate(CHANNELS):
+            d = {}
+            for t_idx, img_type in enumerate(img_types):
+                for f_idx, feat_name in enumerate(self._bundle_names):
+                    d[f"{img_type}_{feat_name}"] = float(stacked[t_idx, i, f_idx])
+            for s_idx, name in enumerate(self._shape_names):
+                d[f"original_shape2D_{name}"] = float(shape_vals[s_idx])
+            out[ch] = d
+        return out
 
     def extract_radiomics(self, record: Dict) -> Dict[str, Dict[str, float]]:
         """Path-based single-image API matching ``RadiomicExtractor.py:23-55``

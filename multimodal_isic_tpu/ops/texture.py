@@ -172,14 +172,29 @@ def glcm_features(levels: jnp.ndarray, mask: jnp.ndarray,
 
         # MCC: √(second-largest eigenvalue of Q), Q(i,j) = Σ_k p(i,k)p(j,k)
         # / (px(i)·py(k)).  Q = D⁻¹A with A symmetric PSD, so Q is similar to
-        # S = D^{-1/2} A D^{-1/2} — eigvalsh on S gives Q's spectrum while
-        # staying TPU-lowerable (general eig is not).
+        # the PSD matrix S = D^{-1/2} A D^{-1/2}.  Q is row-stochastic, so its
+        # top eigenpair is exactly (1, √px): deflate it and take the dominant
+        # eigenvalue of the remainder by power iteration — all matmuls, far
+        # cheaper on TPU than eigh (general eig does not lower at all).
         safe_py = jnp.where(py > 0, py, 1.0)
         a = jnp.einsum("ik,jk->ij", p / safe_py[None, :], p)
         inv_sqrt_px = jnp.where(px > 0, 1.0 / jnp.sqrt(jnp.maximum(px, EPS)), 0.0)
         s = a * inv_sqrt_px[:, None] * inv_sqrt_px[None, :]
-        eigs = jnp.linalg.eigvalsh(s)
-        mcc = jnp.sqrt(jnp.clip(jnp.sort(eigs)[-2], 0.0, 1.0))
+        v1 = jnp.sqrt(jnp.maximum(px, 0.0))
+        v1 = v1 / jnp.maximum(jnp.linalg.norm(v1), EPS)
+        s_defl = s - jnp.outer(v1, v1)
+
+        def power(v, _):
+            w = s_defl @ v
+            w = w - v1 * (v1 @ w)  # re-orthogonalize against the deflated pair
+            return w / jnp.maximum(jnp.linalg.norm(w), EPS), None
+
+        v0 = jnp.ones(NG) / jnp.sqrt(NG)
+        v0 = v0 - v1 * (v1 @ v0)
+        v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), EPS)
+        v, _ = jax.lax.scan(power, v0, None, length=96)
+        lam2 = v @ (s_defl @ v)
+        mcc = jnp.sqrt(jnp.clip(lam2, 0.0, 1.0))
         # flat ROI (single gray level): pyradiomics defines MCC = 1
         mcc = jnp.where(ng_f > 1, mcc, 1.0)
 
