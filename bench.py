@@ -31,7 +31,9 @@ def measure_tpu(batch_size=64, iters=10):
     from multimodal_isic_tpu.models.fusion import MultiModalFusionNet
     from multimodal_isic_tpu.train.fusion import BATCH_KEYS, init_fusion
 
-    model = MultiModalFusionNet()
+    # bf16 backbone compute (production inference precision; fp32 params,
+    # fp32 branch MLPs/heads): 2540 vs 1581 img/s/chip measured
+    model = MultiModalFusionNet(dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     host = {
         "image": rng.randint(0, 255, (batch_size, 450, 450, 3), np.uint8),

@@ -44,24 +44,26 @@ def sincos_pos_embed(dim: int, grid: int) -> jnp.ndarray:
 class Mlp(nn.Module):
     hidden: int
     out: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out)(x)
+        return nn.Dense(self.out, dtype=self.dtype)(x)
 
 
 class Attention(nn.Module):
     dim: int
     num_heads: int
     use_flash: bool = False  # blockwise Pallas kernel (ops.attention)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, n, d = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3)(x)
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, hd]
         if self.use_flash:
@@ -73,9 +75,10 @@ class Attention(nn.Module):
         else:
             q = q * (1.0 / math.sqrt(head_dim))
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
-            attn = jax.nn.softmax(attn, axis=-1)
+            # softmax in f32 for numerical stability under bf16 compute
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
-        return nn.Dense(self.dim)(out)
+        return nn.Dense(self.dim, dtype=self.dtype)(out)
 
 
 class Block(nn.Module):
@@ -84,12 +87,14 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     use_flash: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = x + Attention(self.dim, self.num_heads,
-                          use_flash=self.use_flash)(nn.LayerNorm()(x))
-        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim)(nn.LayerNorm()(x))
+        x = x + Attention(self.dim, self.num_heads, use_flash=self.use_flash,
+                          dtype=self.dtype)(nn.LayerNorm(dtype=self.dtype)(x))
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                    dtype=self.dtype)(nn.LayerNorm(dtype=self.dtype)(x))
         return x
 
 
@@ -100,22 +105,23 @@ class ConvBlock(nn.Module):
     5×5 receptive field during pretraining."""
     dim: int
     mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, keep: Optional[jnp.ndarray] = None):
-        h = nn.LayerNorm()(x)
-        h = nn.Conv(self.dim, (1, 1))(h)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype)(h)
         if keep is not None:
-            h = h * keep
+            h = h * keep.astype(h.dtype)
         h = nn.Conv(self.dim, (5, 5), padding="SAME",
-                    feature_group_count=self.dim)(h)
+                    feature_group_count=self.dim, dtype=self.dtype)(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Conv(self.dim, (1, 1))(h)
+        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype)(h)
         x = x + h
-        h = nn.LayerNorm()(x)
-        h = nn.Conv(int(self.dim * self.mlp_ratio), (1, 1))(h)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Conv(int(self.dim * self.mlp_ratio), (1, 1), dtype=self.dtype)(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Conv(self.dim, (1, 1))(h)
+        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype)(h)
         return x + h
 
 
@@ -162,6 +168,8 @@ class ConvMAE(nn.Module):
     norm_pix_loss: bool = False
     with_decoder: bool = True
     use_flash_attention: bool = False  # Pallas blockwise attention for the ViT
+    dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 = mixed precision;
+    # params stay f32, loss computed in f32)
 
     @property
     def grid(self) -> int:
@@ -173,28 +181,30 @@ class ConvMAE(nn.Module):
 
     def setup(self):
         d0, d1, d2 = self.embed_dims
-        self.embed1 = nn.Conv(d0, (4, 4), strides=(4, 4))
-        self.embed1_norm = nn.LayerNorm()
-        self.stage1 = [ConvBlock(d0) for _ in range(self.depths[0])]
-        self.embed2 = nn.Conv(d1, (2, 2), strides=(2, 2))
-        self.embed2_norm = nn.LayerNorm()
-        self.stage2 = [ConvBlock(d1) for _ in range(self.depths[1])]
-        self.embed3 = nn.Conv(d2, (2, 2), strides=(2, 2))
-        self.embed3_norm = nn.LayerNorm()
+        dt = self.dtype
+        self.embed1 = nn.Conv(d0, (4, 4), strides=(4, 4), dtype=dt)
+        self.embed1_norm = nn.LayerNorm(dtype=dt)
+        self.stage1 = [ConvBlock(d0, dtype=dt) for _ in range(self.depths[0])]
+        self.embed2 = nn.Conv(d1, (2, 2), strides=(2, 2), dtype=dt)
+        self.embed2_norm = nn.LayerNorm(dtype=dt)
+        self.stage2 = [ConvBlock(d1, dtype=dt) for _ in range(self.depths[1])]
+        self.embed3 = nn.Conv(d2, (2, 2), strides=(2, 2), dtype=dt)
+        self.embed3_norm = nn.LayerNorm(dtype=dt)
         self.pos_embed = self.param(
             "pos_embed", lambda key, shape: sincos_pos_embed(d2, self.grid),
             (self.num_patches, d2))
-        self.vit = [Block(d2, self.num_heads, use_flash=self.use_flash_attention)
+        self.vit = [Block(d2, self.num_heads, use_flash=self.use_flash_attention,
+                          dtype=dt)
                     for _ in range(self.depths[2])]
-        self.encoder_norm = nn.LayerNorm()
+        self.encoder_norm = nn.LayerNorm(dtype=dt)
         if self.with_decoder:
-            self.decoder_embed = nn.Dense(self.decoder_dim)
+            self.decoder_embed = nn.Dense(self.decoder_dim, dtype=dt)
             self.mask_token = self.param(
                 "mask_token", nn.initializers.normal(0.02), (1, 1, self.decoder_dim))
-            self.dec_blocks = [Block(self.decoder_dim, self.decoder_heads)
+            self.dec_blocks = [Block(self.decoder_dim, self.decoder_heads, dtype=dt)
                                for _ in range(self.decoder_depth)]
-            self.decoder_norm = nn.LayerNorm()
-            self.decoder_pred = nn.Dense(16 * 16 * 3)
+            self.decoder_norm = nn.LayerNorm(dtype=dt)
+            self.decoder_pred = nn.Dense(16 * 16 * 3, dtype=dt)
 
     # ------------------------------------------------------------- encoder
     def encode(self, imgs: jnp.ndarray, mask_ratio: float = 0.0,
@@ -223,7 +233,7 @@ class ConvMAE(nn.Module):
             ids_restore = ids_keep
             keep1 = keep2 = None
 
-        x = self.embed1_norm(self.embed1(imgs))       # 56×56×256
+        x = self.embed1_norm(self.embed1(imgs.astype(self.dtype)))  # 56×56×256
         for blk in self.stage1:
             x = blk(x, keep1)
         x = self.embed2_norm(self.embed2(x))          # 28×28×384
@@ -232,13 +242,13 @@ class ConvMAE(nn.Module):
         x = self.embed3(x)                            # 14×14×768
         x = x.reshape(b, n, self.embed_dims[2])
         x = self.embed3_norm(x)
-        x = x + self.pos_embed[None]
+        x = x + self.pos_embed[None].astype(x.dtype)
 
         # drop masked tokens (static len_keep) before the transformer
         x = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)
         for blk in self.vit:
             x = blk(x)
-        x = self.encoder_norm(x)
+        x = self.encoder_norm(x).astype(jnp.float32)  # latents consumed in f32
         return x, mask, ids_restore
 
     def decode(self, latent: jnp.ndarray, ids_restore: jnp.ndarray):
@@ -247,13 +257,13 @@ class ConvMAE(nn.Module):
         n = ids_restore.shape[1]
         x = self.decoder_embed(latent)
         fills = jnp.tile(self.mask_token, (b, n - len_keep, 1))
-        x = jnp.concatenate([x, fills], axis=1)
+        x = jnp.concatenate([x, fills.astype(x.dtype)], axis=1)
         x = jnp.take_along_axis(x, ids_restore[:, :, None], axis=1)  # unshuffle
-        x = x + sincos_pos_embed(self.decoder_dim, self.grid)[None]
+        x = x + sincos_pos_embed(self.decoder_dim, self.grid)[None].astype(x.dtype)
         for blk in self.dec_blocks:
             x = blk(x)
         x = self.decoder_norm(x)
-        return self.decoder_pred(x)
+        return self.decoder_pred(x).astype(jnp.float32)  # loss in f32
 
     def loss(self, imgs: jnp.ndarray, pred: jnp.ndarray, mask: jnp.ndarray):
         """MAE reconstruction loss: per-patch MSE averaged over masked patches,

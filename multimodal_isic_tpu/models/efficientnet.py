@@ -89,29 +89,33 @@ class MBConv(nn.Module):
     in_filters: int
     out_filters: int
     drop_rate: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         inputs = x
         mid = self.in_filters * self.expand_ratio
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, epsilon=BN_EPS, momentum=0.99, name=name)
+            use_running_average=not train, epsilon=BN_EPS, momentum=0.99,
+            dtype=self.dtype, name=name)
         if self.expand_ratio != 1:
-            x = nn.Conv(mid, (1, 1), use_bias=False, name="expand_conv")(x)
+            x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand_conv")(x)
             x = nn.silu(bn("bn0")(x))
         x = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
                     padding="SAME", feature_group_count=mid, use_bias=False,
-                    name="depthwise_conv")(x)
+                    dtype=self.dtype, name="depthwise_conv")(x)
         x = nn.silu(bn("bn1")(x))
 
         # squeeze-excite on the *input* channel count ratio
         se_ch = max(1, int(self.in_filters * SE_RATIO))
         se = jnp.mean(x, axis=(1, 2), keepdims=True)
-        se = nn.Conv(se_ch, (1, 1), name="se_reduce")(se)
-        se = nn.Conv(mid, (1, 1), name="se_expand")(nn.silu(se))
+        se = nn.Conv(se_ch, (1, 1), dtype=self.dtype, name="se_reduce")(se)
+        se = nn.Conv(mid, (1, 1), dtype=self.dtype, name="se_expand")(nn.silu(se))
         x = x * jax.nn.sigmoid(se)
 
-        x = nn.Conv(self.out_filters, (1, 1), use_bias=False, name="project_conv")(x)
+        x = nn.Conv(self.out_filters, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_conv")(x)
         x = bn("bn2")(x)
         if self.stride == 1 and self.in_filters == self.out_filters:
             rng = self.make_rng("dropout") if (train and self.drop_rate > 0) else None
@@ -129,16 +133,19 @@ class EfficientNet(nn.Module):
     num_classes: Optional[int] = None
     drop_connect_rate: float = 0.2
     feature_dropout: bool = True  # efficientnet_pytorch keeps _dropout before _fc
+    dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 = mixed precision)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width, depth, _, dropout_rate = PARAMS[self.model_name]
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, epsilon=BN_EPS, momentum=0.99, name=name)
+            use_running_average=not train, epsilon=BN_EPS, momentum=0.99,
+            dtype=self.dtype, name=name)
 
+        x = x.astype(self.dtype)
         stem = round_filters(32, width)
         x = nn.Conv(stem, (3, 3), strides=2, padding="SAME", use_bias=False,
-                    name="stem_conv")(x)
+                    dtype=self.dtype, name="stem_conv")(x)
         x = nn.silu(bn("stem_bn")(x))
 
         blocks = block_args(self.model_name)
@@ -146,12 +153,13 @@ class EfficientNet(nn.Module):
         for i, (expand, kernel, stride, cin, cout) in enumerate(blocks):
             x = MBConv(expand, kernel, stride, cin, cout,
                        drop_rate=self.drop_connect_rate * i / n,
-                       name=f"block_{i}")(x, train=train)
+                       dtype=self.dtype, name=f"block_{i}")(x, train=train)
 
         head = round_filters(1280, width)
-        x = nn.Conv(head, (1, 1), use_bias=False, name="head_conv")(x)
+        x = nn.Conv(head, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="head_conv")(x)
         x = nn.silu(bn("head_bn")(x))
-        x = jnp.mean(x, axis=(1, 2))  # global average pool → [B, head]
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # pooled feats in f32
         if self.feature_dropout:
             x = nn.Dropout(dropout_rate, deterministic=not train)(x)
         if self.num_classes is not None:

@@ -81,6 +81,8 @@ class MultiModalFusionNet(nn.Module):
     num_artifact_classes: int = 6
     num_classes: int = 7
     backbone: str = "efficientnet-b3"
+    dtype: jnp.dtype = jnp.float32  # backbone compute dtype (branch MLPs and
+    # fusion heads are tiny and stay f32)
 
     @nn.compact
     def __call__(self, image=None, radiomics=None, age=None, sex=None,
@@ -101,7 +103,8 @@ class MultiModalFusionNet(nn.Module):
         if "image" in self.modality:
             if image_features is None:
                 image_features = EfficientNet(
-                    self.backbone, name="image_model")(image, train=train)
+                    self.backbone, dtype=self.dtype,
+                    name="image_model")(image, train=train)
             feat = ProjMlp(256, SHARED_DIM, 0.3, 0.2, name="image_proj")(
                 image_features, train=train)
             (logits if late else features).append(

@@ -222,3 +222,31 @@ def test_concat_patch_moments_matches_torch_reference(rng):
     kurt = m4 / sigma ** 4 - 3.0
     theirs = torch.cat([mean, maxv, std, median, skew, kurt], dim=1).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=1e-5)
+
+
+def test_bf16_mixed_precision_training(eight_devices):
+    """bf16 compute / f32 params: loss finite, close to fp32, and descends."""
+    model32 = ConvMAE(**TINY)
+    model16 = ConvMAE(**TINY, dtype=jnp.bfloat16)
+    params = init_mae(model32, jax.random.PRNGKey(0), batch_size=2)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(params))  # params stay f32
+
+    imgs = jnp.asarray(np.random.RandomState(0).rand(4, 64, 64, 3), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    l32, _, _ = model32.apply({"params": params}, imgs, mask_ratio=0.75, rng=key)
+    l16, pred16, _ = model16.apply({"params": params}, imgs, mask_ratio=0.75,
+                                   rng=key)
+    assert pred16.dtype == jnp.float32  # loss path upcast
+    assert abs(float(l16) - float(l32)) / float(l32) < 0.05
+
+    opt = mae_optimizer(encoder_lr=1e-3, decoder_lr=1e-3)
+    state = TrainState.create(params, opt, jax.random.PRNGKey(2))
+    step = make_mae_train_step(model16, opt, mask_ratio=0.75)
+    losses = []
+    for i in range(6):
+        k, state = state.next_rng()
+        state, loss = step(state, imgs, None, k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(l) for l in losses)
