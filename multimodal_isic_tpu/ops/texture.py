@@ -258,32 +258,43 @@ def _shear_for_angle(levels, inside, dy, dx):
     return lv.T, ok.T  # lines are now rows of the transposed sheared image
 
 
-def glrlm_matrix_for_angle(levels, inside, dy, dx, max_len: int):
-    """[NG, max_len] run-length counts for one angle (runs of equal gray level
-    within the ROI along direction (dy, dx))."""
+def run_starts_and_lengths(levels, inside, dy, dx):
+    """Per-cell run bookkeeping along one angle, scatter-free.
+
+    Shears the image so runs lie along rows, marks run starts/ends by
+    neighbor comparison, and recovers each start cell's run length as
+    (position of the next run end) − (own position) + 1 via a reverse
+    cumulative minimum — no run-id bincounts.
+
+    → (start [L, K] bool, gray [L, K] int32, length [L, K] int32); gray and
+    length are meaningful at start cells.
+    """
     lv, ok = _shear_for_angle(levels, inside, dy, dx)
     L, K = lv.shape
     prev_lv = jnp.concatenate([jnp.zeros((L, 1), lv.dtype), lv[:, :-1]], axis=1)
     prev_ok = jnp.concatenate([jnp.zeros((L, 1), jnp.bool_), ok[:, :-1]], axis=1)
     start = ok & (~prev_ok | (lv != prev_lv))
 
-    # per-line run ids -> global run ids
-    rid_in_line = jnp.cumsum(start.astype(jnp.int32), axis=1) - 1
-    max_runs = K + 1  # a K-cell line can hold up to K runs
-    gid = (jnp.arange(L)[:, None] * max_runs + jnp.clip(rid_in_line, 0, max_runs - 1))
-    gid = jnp.where(ok, gid, L * max_runs)  # junk bucket for non-ROI cells
+    next_lv = jnp.concatenate([lv[:, 1:], jnp.zeros((L, 1), lv.dtype)], axis=1)
+    next_ok = jnp.concatenate([ok[:, 1:], jnp.zeros((L, 1), jnp.bool_)], axis=1)
+    is_end = ok & (~next_ok | (lv != next_lv))
 
-    n_runs_buckets = L * max_runs + 1
-    run_len = jnp.bincount(gid.reshape(-1), length=n_runs_buckets)[:-1]
-    # gray level of each run = level at its start cell
-    start_gid = jnp.where(start, gid, L * max_runs)
-    run_gray = jnp.zeros(n_runs_buckets, jnp.int32).at[
-        start_gid.reshape(-1)].max(jnp.where(start, lv, 0).reshape(-1).astype(jnp.int32))[:-1]
+    idx = jnp.broadcast_to(jnp.arange(K)[None, :], (L, K))
+    big = jnp.int32(K + 1)
+    end_idx = jnp.where(is_end, idx, big)
+    # first run-end at or after each position (runs are contiguous)
+    end_pos = jax.lax.cummin(end_idx[:, ::-1], axis=1)[:, ::-1]
+    length = end_pos - idx + 1
+    return start, lv.astype(jnp.int32), length.astype(jnp.int32)
 
-    is_run = run_len > 0
-    key = (run_gray - 1) * max_len + jnp.clip(run_len - 1, 0, max_len - 1)
-    key = jnp.where(is_run, key, NG * max_len)
-    flat = jnp.bincount(key, length=NG * max_len + 1)[:-1]
+
+def glrlm_matrix_for_angle(levels, inside, dy, dx, max_len: int):
+    """[NG, max_len] run-length counts for one angle (runs of equal gray level
+    within the ROI along direction (dy, dx))."""
+    start, gray, length = run_starts_and_lengths(levels, inside, dy, dx)
+    key = (gray - 1) * max_len + jnp.clip(length - 1, 0, max_len - 1)
+    key = jnp.where(start, key, NG * max_len)
+    flat = jnp.bincount(key.reshape(-1), length=NG * max_len + 1)[:-1]
     return flat.reshape(NG, max_len).astype(jnp.float32)
 
 
