@@ -33,7 +33,8 @@ FEATURE_CLASSES = ("firstorder", "glcm", "glrlm", "glszm", "gldm", "ngtdm")
 
 
 def _texture_bundle(derived: jnp.ndarray, mask: jnp.ndarray, bin_width: float,
-                    glrlm_max_len: int) -> Dict[str, jnp.ndarray]:
+                    glrlm_max_len: int,
+                    use_pallas_glrlm: bool = False) -> Dict[str, jnp.ndarray]:
     """All 6 texture feature classes for ONE derived image.  Kept as its own
     jit unit: the same compiled program is reused across all 13 filter types
     and 4 channels (one big fused graph took >10 min of XLA compile)."""
@@ -41,7 +42,8 @@ def _texture_bundle(derived: jnp.ndarray, mask: jnp.ndarray, bin_width: float,
     return {
         "firstorder": T.firstorder_features(derived, mask, bin_width),
         "glcm": T.glcm_features(levels, mask, n_levels, bin_width, low),
-        "glrlm": T.glrlm_features(levels, mask, n_levels, glrlm_max_len),
+        "glrlm": T.glrlm_features(levels, mask, n_levels, glrlm_max_len,
+                                  use_pallas=use_pallas_glrlm),
         "glszm": X.glszm_features(levels, mask, n_levels),
         "gldm": X.gldm_features(levels, mask, n_levels),
         "ngtdm": X.ngtdm_features(levels, mask, n_levels),
@@ -54,11 +56,15 @@ class RadiomicsExtractor:
 
     def __init__(self, bin_width: float = 10.0, label: int = 255,
                  glrlm_max_len: int = 512, batch: int = 4,
-                 image_size: Optional[Tuple[int, int]] = None):
+                 image_size: Optional[Tuple[int, int]] = None,
+                 use_pallas_glrlm: Optional[bool] = None):
         self.bin_width = float(bin_width)
         self.label = label
         self.glrlm_max_len = glrlm_max_len
         self.batch = batch
+        if use_pallas_glrlm is None:  # kernels compile on TPU only
+            use_pallas_glrlm = jax.default_backend() == "tpu"
+        self.use_pallas_glrlm = use_pallas_glrlm
         # three modest jit units instead of one giant graph: the bundle is
         # compiled once and reused 13 (filters) x 4 (channels) times.  The
         # bundle returns ONE stacked [channels, n_feats] vector so the whole
@@ -67,7 +73,8 @@ class RadiomicsExtractor:
         self._bank = jax.jit(jax.vmap(FB.filter_bank))
 
         def bundle(img, m):
-            feats = _texture_bundle(img, m, self.bin_width, self.glrlm_max_len)
+            feats = _texture_bundle(img, m, self.bin_width, self.glrlm_max_len,
+                                    self.use_pallas_glrlm)
             return jnp.stack(jax.tree_util.tree_leaves(feats))  # sorted keys
 
         self._bundle_vec = jax.jit(jax.vmap(bundle))

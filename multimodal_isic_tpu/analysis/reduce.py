@@ -130,15 +130,27 @@ def lasso_select(train_df: pd.DataFrame, y_train, test_df: pd.DataFrame,
             jnp.asarray(X_np, jnp.float32), jnp.asarray(Y, jnp.float32),
             jnp.asarray(w_np, jnp.float32), jnp.float32(C), iters)
 
+    # the whole C grid solves as one batched FISTA (vmap over C on top of the
+    # solver's vmap over one-vs-rest classes): 20 sequential liblinear fits
+    # per fold collapse to a single device program
+    fit_grid = jax.jit(jax.vmap(
+        lambda X, Y, w, C: _fista_l1_logistic(X, Y, w, C, iters),
+        in_axes=(None, None, None, 0)), static_argnames=())
+
     kf = StratifiedKFold(n_folds, shuffle=True, random_state=seed)
     folds = list(kf.split(np.zeros((len(y), 1)), y))
     scores = np.zeros(len(Cs))
+    cs_dev = jnp.asarray(Cs, jnp.float32)
     for tr_idx, va_idx in folds:
-        for ci, C in enumerate(Cs):
-            W, b = fit_weighted(train_df.values[tr_idx], y[tr_idx],
-                                w_sample[tr_idx], C)
-            logits = train_df.values[va_idx] @ np.asarray(W).T + np.asarray(b)
-            pred = classes[np.argmax(logits, axis=1)]
+        Y = np.stack([np.where(y[tr_idx] == c, 1.0, -1.0) for c in classes])
+        W_all, b_all = fit_grid(jnp.asarray(train_df.values[tr_idx], jnp.float32),
+                                jnp.asarray(Y, jnp.float32),
+                                jnp.asarray(w_sample[tr_idx], jnp.float32),
+                                cs_dev)  # [n_C, K, D], [n_C, K]
+        logits = np.einsum("nd,ckd->cnk", train_df.values[va_idx],
+                           np.asarray(W_all)) + np.asarray(b_all)[:, None, :]
+        for ci in range(len(Cs)):
+            pred = classes[np.argmax(logits[ci], axis=1)]
             scores[ci] += _macro_f1(y[va_idx], pred, k)
     best_C = Cs[int(np.argmax(scores))]
 

@@ -94,5 +94,6 @@ def decode_crop_batch(image_paths: Sequence[str],
         images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads)
     if rc != 0:
-        raise RuntimeError(f"native batch decode: {-rc} samples failed")
+        raise FileNotFoundError(
+            f"native batch decode: {-rc} samples failed (missing/corrupt files)")
     return images, masks

@@ -79,6 +79,24 @@ class DermRecords:
             mask = cv2.resize(mask, self.staging_hw[::-1], interpolation=cv2.INTER_NEAREST)
         return image, mask
 
+    def metadata(self, idx: int) -> Dict[str, np.ndarray]:
+        """The non-image fields of a record (no decode)."""
+        row = self.df.iloc[idx]
+        if self.radiomics is not None:
+            radiomics = self.radiomics[idx]
+        else:
+            radiomics = np.zeros(RADIOMICS_PLACEHOLDER_DIM, np.float32)
+        has_art = all(c in row.index for c in ARTIFACT_COLS)
+        return {
+            "radiomics": radiomics,
+            "age": np.float32(row.get("age_normalized", 0.0)),
+            "sex": np.int32(row.get("sex_encoded", 0)),
+            "loc": np.int32(row.get("loc_encoded", 0)),
+            "artifacts": (row[ARTIFACT_COLS].values.astype(np.int32)
+                          if has_art else np.zeros(len(ARTIFACT_COLS), np.int32)),
+            "target": np.int32(row["dx"]),
+        }
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         row = self.df.iloc[idx]
         image, mask = self.read_image_mask(idx)
@@ -136,11 +154,25 @@ class DeviceLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        use_native_batch = getattr(self.records, "use_native", False)
         for start in range(0, len(self.order), self.batch_size):
             idx = self.order[start:start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            yield _collate([self.records[int(i)] for i in idx])
+            if use_native_batch:
+                # metadata without decode + one threaded C call for the
+                # whole batch's decode+crop
+                from . import native_io
+                batch = _collate([self.records.metadata(int(i)) for i in idx])
+                rows = self.records.df.iloc[idx]
+                images, masks = native_io.decode_crop_batch(
+                    rows["image_path"].tolist(),
+                    [str(p) for p in rows["segmentation_path"]],
+                    self.records.staging_hw)
+                batch["image"], batch["mask"] = images, masks
+            else:
+                batch = _collate([self.records[int(i)] for i in idx])
+            yield batch
 
     def __iter__(self):
         import jax
