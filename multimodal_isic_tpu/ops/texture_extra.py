@@ -43,7 +43,16 @@ def connected_components(levels: jnp.ndarray, inside: jnp.ndarray,
     h, w = levels.shape
     big = jnp.int32(h * w)
     lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
-    label0 = jnp.where(inside, lin, big)
+    # initialize each pixel with its horizontal run's start index (a forward
+    # cummax over run-start positions): whole rows collapse immediately and
+    # the loop only has to merge runs vertically/diagonally
+    prev_lv = jnp.concatenate([jnp.full((h, 1), -1, levels.dtype),
+                               levels[:, :-1]], axis=1)
+    prev_in = jnp.concatenate([jnp.zeros((h, 1), jnp.bool_),
+                               inside[:, :-1]], axis=1)
+    start = inside & (~prev_in | (levels != prev_lv))
+    run_start = jax.lax.cummax(jnp.where(start, lin, -1), axis=1)
+    label0 = jnp.where(inside, run_start, big)
 
     def neighbor_min(label):
         best = label
