@@ -34,16 +34,17 @@ FEATURE_CLASSES = ("firstorder", "glcm", "glrlm", "glszm", "gldm", "ngtdm")
 
 def _texture_bundle(derived: jnp.ndarray, mask: jnp.ndarray, bin_width: float,
                     glrlm_max_len: int,
-                    use_pallas_glrlm: bool = False) -> Dict[str, jnp.ndarray]:
+                    use_pallas_kernels: bool = False) -> Dict[str, jnp.ndarray]:
     """All 6 texture feature classes for ONE derived image.  Kept as its own
     jit unit: the same compiled program is reused across all 13 filter types
     and 4 channels (one big fused graph took >10 min of XLA compile)."""
     levels, n_levels, low = T.discretize(derived, mask, bin_width)
     return {
         "firstorder": T.firstorder_features(derived, mask, bin_width),
-        "glcm": T.glcm_features(levels, mask, n_levels, bin_width, low),
+        "glcm": T.glcm_features(levels, mask, n_levels, bin_width, low,
+                                use_pallas=use_pallas_kernels),
         "glrlm": T.glrlm_features(levels, mask, n_levels, glrlm_max_len,
-                                  use_pallas=use_pallas_glrlm),
+                                  use_pallas=use_pallas_kernels),
         "glszm": X.glszm_features(levels, mask, n_levels),
         "gldm": X.gldm_features(levels, mask, n_levels),
         "ngtdm": X.ngtdm_features(levels, mask, n_levels),
@@ -57,14 +58,14 @@ class RadiomicsExtractor:
     def __init__(self, bin_width: float = 10.0, label: int = 255,
                  glrlm_max_len: int = 512, batch: int = 4,
                  image_size: Optional[Tuple[int, int]] = None,
-                 use_pallas_glrlm: Optional[bool] = None):
+                 use_pallas_kernels: Optional[bool] = None):
         self.bin_width = float(bin_width)
         self.label = label
         self.glrlm_max_len = glrlm_max_len
         self.batch = batch
-        if use_pallas_glrlm is None:  # kernels compile on TPU only
-            use_pallas_glrlm = jax.default_backend() == "tpu"
-        self.use_pallas_glrlm = use_pallas_glrlm
+        if use_pallas_kernels is None:  # kernels compile on TPU only
+            use_pallas_kernels = jax.default_backend() == "tpu"
+        self.use_pallas_kernels = use_pallas_kernels
         # three modest jit units instead of one giant graph: the bundle is
         # compiled once and reused 13 (filters) x 4 (channels) times.  The
         # bundle returns ONE stacked [channels, n_feats] vector so the whole
@@ -74,7 +75,7 @@ class RadiomicsExtractor:
 
         def bundle(img, m):
             feats = _texture_bundle(img, m, self.bin_width, self.glrlm_max_len,
-                                    self.use_pallas_glrlm)
+                                    self.use_pallas_kernels)
             return jnp.stack(jax.tree_util.tree_leaves(feats))  # sorted keys
 
         self._bundle_vec = jax.jit(jax.vmap(bundle))

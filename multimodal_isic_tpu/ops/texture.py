@@ -96,13 +96,19 @@ def glcm_matrices(levels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 def glcm_features(levels: jnp.ndarray, mask: jnp.ndarray,
                   n_levels: jnp.ndarray, bin_width: float,
-                  low: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+                  low: jnp.ndarray, use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
     """The 24 pyradiomics GLCM features, averaged over angles.
 
     Gray values entering the formulas are the discretized level indices
     (pyradiomics uses 1-based bin indices), masked to the first ``n_levels``.
+    ``use_pallas`` computes the co-occurrence matrices with the fused 4-angle
+    MXU kernel (no [H·W, NG] one-hot materialization in HBM).
     """
-    raw = glcm_matrices(levels, mask)  # [4, NG, NG]
+    if use_pallas:
+        from .pallas_glcm import glcm_matrices_pallas
+        raw = glcm_matrices_pallas(levels, mask)
+    else:
+        raw = glcm_matrices(levels, mask)  # [4, NG, NG]
     i_vals = jnp.arange(1, NG + 1, dtype=jnp.float32)
     lvl_valid = (i_vals <= n_levels.astype(jnp.float32)).astype(jnp.float32)
     pair_valid = lvl_valid[:, None] * lvl_valid[None, :]

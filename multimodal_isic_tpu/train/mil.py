@@ -71,14 +71,9 @@ def _make_forward(model, is_graph: bool, cfg):
     return forward
 
 
-def _evaluate_split(forward, params, feats, valid, labels, num_classes):
-    """The reference's ``_evaluate_split`` metric bundle
-    (``utils_g_mil.py:150-187``)."""
-    if len(labels) == 0:
-        nan = float("nan")
-        return {k: nan for k in ("loss", "acc", "bacc", "auc", "macro_p",
-                                 "macro_r", "macro_f1", "weighted_p",
-                                 "weighted_r", "weighted_f1")}
+def _make_eval_fn(forward):
+    """Build the jitted batch-probs function ONCE per trainable — defining it
+    inside the eval call would key a fresh jit cache entry every epoch."""
 
     @jax.jit
     def run(params, feats, valid):
@@ -87,7 +82,19 @@ def _evaluate_split(forward, params, feats, valid, labels, num_classes):
             return probs
         return jax.vmap(one)(feats, valid)
 
-    probs = run(params, feats, valid)
+    return run
+
+
+def _evaluate_split(eval_fn, params, feats, valid, labels, num_classes):
+    """The reference's ``_evaluate_split`` metric bundle
+    (``utils_g_mil.py:150-187``)."""
+    if len(labels) == 0:
+        nan = float("nan")
+        return {k: nan for k in ("loss", "acc", "bacc", "auc", "macro_p",
+                                 "macro_r", "macro_f1", "weighted_p",
+                                 "weighted_r", "weighted_f1")}
+
+    probs = eval_fn(params, feats, valid)
     y = jnp.asarray(labels)
     losses = jax.vmap(mil_loss)(probs, y)
     out = M.evaluate_probs(y, probs, num_classes, loss=losses.mean())
@@ -118,6 +125,7 @@ def _train_core(model, is_graph: bool, config: Dict, data: Dict, seed: int,
         te_feats = te_valid = None
 
     forward = _make_forward(model, is_graph, config)
+    eval_fn = _make_eval_fn(forward)
     optimizer = make_optimizer(
         config.get("optimizer", "adam"),
         float(config.get("lr", 1e-4)),
@@ -158,7 +166,7 @@ def _train_core(model, is_graph: bool, config: Dict, data: Dict, seed: int,
             state, jnp.asarray(tr_feats[order]), jnp.asarray(tr_valid[order]),
             tr_labels[order], jax.random.fold_in(jax.random.PRNGKey(seed), epoch))
 
-        val_metrics = _evaluate_split(forward, state.params, jnp.asarray(va_feats),
+        val_metrics = _evaluate_split(eval_fn, state.params, jnp.asarray(va_feats),
                                       jnp.asarray(va_valid), va_labels, num_classes)
 
         if val_metrics["bacc"] > best_by_bacc["val_bacc"] + 1e-6:
@@ -181,7 +189,7 @@ def _train_core(model, is_graph: bool, config: Dict, data: Dict, seed: int,
     for best, key, metric in ((best_by_bacc, "val_bacc", "bacc"),
                               (best_by_loss, "val_loss", "loss")):
         if best["params"] is None:
-            vm = _evaluate_split(forward, state.params, jnp.asarray(va_feats),
+            vm = _evaluate_split(eval_fn, state.params, jnp.asarray(va_feats),
                                  jnp.asarray(va_valid), va_labels, num_classes)
             best.update({"params": state.params, "val_metrics": vm,
                          key: vm[metric]})
@@ -189,10 +197,10 @@ def _train_core(model, is_graph: bool, config: Dict, data: Dict, seed: int,
     test_best_bacc = test_best_loss = None
     if te_feats is not None and len(test_labels):
         test_best_bacc = _evaluate_split(
-            forward, best_by_bacc["params"], jnp.asarray(te_feats),
+            eval_fn, best_by_bacc["params"], jnp.asarray(te_feats),
             jnp.asarray(te_valid), test_labels, num_classes)
         test_best_loss = _evaluate_split(
-            forward, best_by_loss["params"], jnp.asarray(te_feats),
+            eval_fn, best_by_loss["params"], jnp.asarray(te_feats),
             jnp.asarray(te_valid), test_labels, num_classes)
 
     vm = best_by_bacc["val_metrics"]
