@@ -27,16 +27,22 @@ def extract_latents(config, path: str, remove_background: bool = False):
     df_train_val = pd.read_pickle(config["dir"]["df"])
     df_test = pd.read_pickle(config["dir"]["df_test"])
 
-    model = convmae_convvit_base_patch16_dec512d8b(with_decoder=False)
+    size = config["training_plan"]["parameters"].get("model_size", "base")
+    if size == "tiny":
+        from ..models.convmae import ConvMAE
+        model = ConvMAE(embed_dims=(32, 48, 64), depths=(1, 1, 2), num_heads=4,
+                        decoder_dim=32, decoder_depth=1, decoder_heads=4,
+                        with_decoder=False)
+    else:
+        model = convmae_convvit_base_patch16_dec512d8b(with_decoder=False)
     params = init_mae(model, jax.random.PRNGKey(config["seed"]))
     checkpoint_path = os.path.join(os.getcwd(), "models", path) \
         if not os.path.isabs(path) else path
     if os.path.exists(os.path.join(checkpoint_path, "manifest.json")):
-        # encoder-only restore from a full-model checkpoint: drop decoder keys
-        full = ckpt.restore_checkpoint(checkpoint_path, params) \
-            if _same_structure(checkpoint_path, params) else None
-        if full is not None:
-            params = full
+        # encoder-only restore from a full-model checkpoint: name-matched,
+        # decoder leaves ignored (the reference's strict=False load,
+        # save_latent.py:49)
+        params = ckpt.restore_partial(checkpoint_path, params)
 
     def loader(df):
         return DeviceLoader(DermRecords(df), batch_size=64,
@@ -49,13 +55,6 @@ def extract_latents(config, path: str, remove_background: bool = False):
         remove_background=remove_background,
         pca_enabled=bool(config.get("pca", False)))
 
-
-def _same_structure(path: str, params) -> bool:
-    import json
-    with open(os.path.join(path, "manifest.json")) as f:
-        manifest = json.load(f)
-    import jax
-    return manifest["num_leaves"] == len(jax.tree_util.tree_leaves(params))
 
 
 def main(argv=None) -> None:

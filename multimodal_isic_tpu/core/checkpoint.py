@@ -29,6 +29,17 @@ def _flatten(tree: PyTree):
     return leaves, treedef
 
 
+def _leaf_paths(tree: PyTree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    paths = []
+    for path, _ in flat:
+        parts = []
+        for entry in path:
+            parts.append(str(getattr(entry, "key", getattr(entry, "idx", entry))))
+        paths.append("/".join(parts))
+    return paths
+
+
 def save_checkpoint(directory: str, state: PyTree, step: Optional[int] = None,
                     metadata: Optional[dict] = None) -> str:
     """Write ``state`` under ``directory/step_<N>`` (or ``directory`` itself
@@ -45,6 +56,7 @@ def save_checkpoint(directory: str, state: PyTree, step: Optional[int] = None,
         "num_leaves": len(host_leaves),
         "dtypes": [str(a.dtype) for a in host_leaves],
         "shapes": [list(a.shape) for a in host_leaves],
+        "paths": _leaf_paths(state),
         "metadata": metadata or {},
     }
     tmp = os.path.join(path, _MANIFEST + ".tmp")
@@ -75,6 +87,46 @@ def restore_checkpoint(path: str, target: PyTree, shardings: Optional[PyTree] = 
         shard_leaves = jax.tree_util.tree_leaves(shardings)
         arrays = [jax.device_put(a, s) for a, s in zip(arrays, shard_leaves)]
     return jax.tree_util.tree_unflatten(treedef, arrays)
+
+
+def restore_partial(path: str, target: PyTree, strict: bool = False) -> PyTree:
+    """Name-matched restore (the torch ``load_state_dict(strict=False)``
+    capability the reference relies on, ``train_ae.py:141``,
+    ``save_latent.py:49``): checkpoint leaves are matched to ``target`` leaves
+    by their tree path; unmatched target leaves keep their current values,
+    extra checkpoint leaves are ignored.  ``strict=True`` raises when any
+    target leaf is missing from the checkpoint.  Returns (new_tree) and —
+    when not strict — prints nothing; inspect the result with
+    ``checkpoint_paths`` if needed."""
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if "paths" not in manifest:
+        raise ValueError("checkpoint has no leaf paths (older format); "
+                         "use restore_checkpoint with a matching structure")
+    with np.load(os.path.join(path, _ARRAYS)) as data:
+        by_path = {p: data[f"arr_{i}"] for i, p in enumerate(manifest["paths"])}
+
+    flat = jax.tree_util.tree_flatten_with_path(target)
+    leaves_with_path, treedef = flat
+    new_leaves = []
+    missing = []
+    for pathkeys, leaf in leaves_with_path:
+        parts = [str(getattr(e, "key", getattr(e, "idx", e))) for e in pathkeys]
+        name = "/".join(parts)
+        if name in by_path and tuple(by_path[name].shape) == tuple(np.shape(leaf)):
+            new_leaves.append(by_path[name])
+        else:
+            missing.append(name)
+            new_leaves.append(leaf)
+    if strict and missing:
+        raise KeyError(f"missing/mismatched leaves in checkpoint: {missing[:8]}"
+                       f"{'...' if len(missing) > 8 else ''}")
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def checkpoint_paths(path: str):
+    with open(os.path.join(path, _MANIFEST)) as f:
+        return json.load(f).get("paths", [])
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:

@@ -149,3 +149,38 @@ def test_train_ae_cli_tiny(workspace):
     names = {a.name for a in arts}
     assert any(n.startswith("latent_scatter") for n in names)
     assert any(n.startswith("image_comparison") for n in names)
+
+
+def test_save_latent_cli_tiny(workspace, monkeypatch, tmp_path):
+    """save_latent end-to-end: tiny encoder checkpoint -> 6 pickled frames,
+    partial (strict=False) restore from the train_ae full-model checkpoint."""
+    import yaml
+    from multimodal_isic_tpu.cli import prepare_df, save_latent
+    root, cfg, dirs = workspace
+    if not os.path.exists(dirs["df"]):
+        prepare_df.main(["--config_path", cfg])
+    config = yaml.safe_load(open(cfg))
+    config["training_plan"]["parameters"]["model_size"] = "tiny"
+    cfg_tiny = str(root / "config_tiny_sl.yml")
+    open(cfg_tiny, "w").write(yaml.safe_dump(config))
+
+    # a full-model tiny checkpoint to restore encoder-only from
+    import jax
+    from multimodal_isic_tpu.core import checkpoint as ckpt
+    from multimodal_isic_tpu.models.convmae import ConvMAE
+    from multimodal_isic_tpu.train.mae import init_mae
+    full = ConvMAE(embed_dims=(32, 48, 64), depths=(1, 1, 2), num_heads=4,
+                   decoder_dim=32, decoder_depth=1, decoder_heads=4)
+    params = init_mae(full, jax.random.PRNGKey(3))
+    ckpt_dir = str(tmp_path / "ae_ckpt")
+    ckpt.save_checkpoint(ckpt_dir, params)
+
+    monkeypatch.chdir(tmp_path)
+    save_latent.main(["--config_path", cfg_tiny, "--model_name", ckpt_dir])
+    out = tmp_path / "dataframes_latents"
+    names = sorted(p.name for p in out.iterdir())
+    assert "patch_level_latents_train_df.pkl" in names
+    assert len(names) == 6
+    frame = pd.read_pickle(out / "patch_level_latents_train_df.pkl")
+    assert {"patch_id", "patch_latent", "patch_in_mask",
+            "patch_latent_pca"} <= set(frame.columns)

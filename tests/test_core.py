@@ -132,3 +132,28 @@ def test_replicated_params_jit_runs_on_mesh(eight_devices):
     x = shard_batch(mesh, np.ones((8, 4), np.float32))
     y = jax.jit(lambda w, x: x @ w)(w, x)
     np.testing.assert_allclose(np.asarray(y), np.ones((8, 4)))
+
+
+def test_restore_partial_strict_false_semantics(tmp_path):
+    """Name-matched partial restore (the reference's strict=False loads)."""
+    full = {"encoder": {"w": jnp.ones((2, 2)), "b": jnp.zeros(2)},
+            "decoder": {"w": jnp.full((3,), 7.0)}}
+    path = ckpt.save_checkpoint(str(tmp_path / "full"), full)
+
+    # encoder-only target: decoder leaves in the checkpoint are ignored,
+    # matching encoder leaves load, extra target leaves keep their values
+    target = {"encoder": {"w": jnp.zeros((2, 2)), "b": jnp.full((2,), 5.0)},
+              "new_head": {"w": jnp.full((4,), 9.0)}}
+    out = ckpt.restore_partial(path, target)
+    np.testing.assert_allclose(np.asarray(out["encoder"]["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(out["encoder"]["b"]), 0.0)
+    np.testing.assert_allclose(np.asarray(out["new_head"]["w"]), 9.0)  # kept
+
+    # shape mismatch -> target value kept (not loaded)
+    target2 = {"encoder": {"w": jnp.zeros((5, 5)), "b": jnp.zeros(2)}}
+    out2 = ckpt.restore_partial(path, target2)
+    assert np.asarray(out2["encoder"]["w"]).sum() == 0.0
+
+    with pytest.raises(KeyError):
+        ckpt.restore_partial(path, target, strict=True)  # new_head missing
+    assert "encoder/w" in ckpt.checkpoint_paths(path)
