@@ -7,10 +7,11 @@ aligned to train.
 
 TPU-first: the L1-logistic path fits all (C, class) problems as one batched
 FISTA solve on device (vmap over the C grid × one-vs-rest classes), replacing
-liblinear; C is chosen by stratified-5-fold macro-F1 as in the reference's
-``LogisticRegressionCV(..., scoring='f1', cv=StratifiedKFold(5, shuffle,
-rs=42))``, and features are kept where the mean |coefficient| across classes
-exceeds the ``SelectFromModel`` L1 threshold (1e-5).
+liblinear; like the reference's ``LogisticRegressionCV(..., scoring='f1',
+cv=StratifiedKFold(5, shuffle, rs=42))`` under ovr, each class's binary
+subproblem is scored with binary F1 across folds and keeps its own best C
+(sklearn's per-class ``C_``); features are kept where the mean |coefficient|
+across classes exceeds the ``SelectFromModel`` L1 threshold (1e-5).
 """
 
 from __future__ import annotations
@@ -51,11 +52,13 @@ def _fista_l1_logistic(X, Y, sw, C, iters: int = 300):
     """Batched one-vs-rest L1 logistic regression with per-sample weights.
 
     X: [N, D] (standardized), Y: [K, N] ±1 labels, sw: [N] sample weights,
-    C: inverse regularization.  Minimizes
-    ``C·Σ_i sw_i·log(1+exp(-y_i(x_i·w+b))) + ||w||₁`` (liblinear's objective
-    with ``class_weight='balanced'``), solved with FISTA; intercept
+    C: inverse regularization — a scalar shared across classes or a [K]
+    vector (LogisticRegressionCV keeps a per-class ``C_`` under ovr).
+    Minimizes ``C·Σ_i sw_i·log(1+exp(-y_i(x_i·w+b))) + ||w||₁`` (liblinear's
+    objective with ``class_weight='balanced'``), solved with FISTA; intercept
     unpenalized.  → (W [K, D], b [K])."""
     n, d = X.shape
+    C = jnp.broadcast_to(jnp.asarray(C, jnp.float32), (Y.shape[0],))
     # Lipschitz bound: C/4 · λ_max(Xᵀ diag(sw) X) (+ intercept), power iteration
     Xs = X * jnp.sqrt(sw)[:, None]
     v = jnp.ones((d,)) / jnp.sqrt(d)
@@ -64,9 +67,9 @@ def _fista_l1_logistic(X, Y, sw, C, iters: int = 300):
         return v / jnp.maximum(jnp.linalg.norm(v), 1e-12), None
     v, _ = jax.lax.scan(power, v, None, length=16)
     sq_norm = jnp.maximum(v @ (Xs.T @ (Xs @ v)), 1e-6)
-    L = C * 0.25 * (sq_norm + sw.sum())
 
-    def solve_one(y):
+    def solve_one(y, Ck):
+        L = Ck * 0.25 * (sq_norm + sw.sum())
         w = jnp.zeros(d)
         b = jnp.zeros(())
         zw, zb, t = w, b, 1.0
@@ -75,8 +78,8 @@ def _fista_l1_logistic(X, Y, sw, C, iters: int = 300):
             w, b, zw, zb, t = carry
             margin = y * (X @ zw + zb)
             s = sw * jax.nn.sigmoid(-margin)
-            gw = -C * (X.T @ (y * s))
-            gb = -C * jnp.sum(y * s)
+            gw = -Ck * (X.T @ (y * s))
+            gb = -Ck * jnp.sum(y * s)
             w_new = zw - gw / L
             b_new = zb - gb / L
             # soft threshold; liblinear L1-penalizes the intercept too (it is
@@ -92,19 +95,18 @@ def _fista_l1_logistic(X, Y, sw, C, iters: int = 300):
         (w, b, _, _, _), _ = jax.lax.scan(step, (w, b, zw, zb, t), None, length=iters)
         return w, b
 
-    return jax.vmap(solve_one)(Y)
+    return jax.vmap(solve_one)(Y, C)
 
 
-def _macro_f1(y_true: np.ndarray, y_pred: np.ndarray, num_classes: int) -> float:
-    f1s = []
-    for c in range(num_classes):
-        tp = np.sum((y_true == c) & (y_pred == c))
-        fp = np.sum((y_true != c) & (y_pred == c))
-        fn = np.sum((y_true == c) & (y_pred != c))
-        p = tp / (tp + fp) if tp + fp else 0.0
-        r = tp / (tp + fn) if tp + fn else 0.0
-        f1s.append(2 * p * r / (p + r) if p + r else 0.0)
-    return float(np.mean(f1s))
+def _binary_f1(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """sklearn ``f1_score`` with pos_label=1, the scorer LogisticRegressionCV
+    applies to each one-vs-rest subproblem under ``scoring='f1'``."""
+    tp = np.sum(y_true & y_pred)
+    fp = np.sum(~y_true & y_pred)
+    fn = np.sum(y_true & ~y_pred)
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    return float(2 * p * r / (p + r) if p + r else 0.0)
 
 
 def lasso_select(train_df: pd.DataFrame, y_train, test_df: pd.DataFrame,
@@ -139,7 +141,9 @@ def lasso_select(train_df: pd.DataFrame, y_train, test_df: pd.DataFrame,
 
     kf = StratifiedKFold(n_folds, shuffle=True, random_state=seed)
     folds = list(kf.split(np.zeros((len(y), 1)), y))
-    scores = np.zeros(len(Cs))
+    # LogisticRegressionCV under ovr scores each class's BINARY subproblem
+    # with binary F1 and keeps a per-class best C (its per-class ``C_``)
+    scores = np.zeros((len(Cs), k))
     cs_dev = jnp.asarray(Cs, jnp.float32)
     for tr_idx, va_idx in folds:
         Y = np.stack([np.where(y[tr_idx] == c, 1.0, -1.0) for c in classes])
@@ -150,9 +154,10 @@ def lasso_select(train_df: pd.DataFrame, y_train, test_df: pd.DataFrame,
         logits = np.einsum("nd,ckd->cnk", train_df.values[va_idx],
                            np.asarray(W_all)) + np.asarray(b_all)[:, None, :]
         for ci in range(len(Cs)):
-            pred = classes[np.argmax(logits[ci], axis=1)]
-            scores[ci] += _macro_f1(y[va_idx], pred, k)
-    best_C = Cs[int(np.argmax(scores))]
+            for ki, c in enumerate(classes):
+                scores[ci, ki] += _binary_f1(y[va_idx] == c,
+                                             logits[ci, :, ki] > 0)
+    best_C = Cs[np.argmax(scores, axis=0)]  # [K] per-class C_
 
     W, b = fit_weighted(train_df.values, y, w_sample, best_C)
     importance = np.abs(np.asarray(W)).mean(axis=0)

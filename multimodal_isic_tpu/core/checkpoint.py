@@ -29,15 +29,25 @@ def _flatten(tree: PyTree):
     return leaves, treedef
 
 
+def _key_str(entry) -> str:
+    """Stringify a tree_util path key.  GetAttrKey carries ``name`` (its str()
+    is '.attr' — the leading dot that used to leak into saved paths), DictKey
+    carries ``key``, SequenceKey carries ``idx``."""
+    for attr in ("name", "key", "idx"):
+        if hasattr(entry, attr):
+            return str(getattr(entry, attr))
+    return str(entry)
+
+
+def _norm_path(path: str) -> str:
+    """Normalize a stored leaf path: older checkpoints saved GetAttrKey parts
+    with their leading dot ('.params/embed1/kernel')."""
+    return "/".join(part.lstrip(".") for part in path.split("/"))
+
+
 def _leaf_paths(tree: PyTree):
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    paths = []
-    for path, _ in flat:
-        parts = []
-        for entry in path:
-            parts.append(str(getattr(entry, "key", getattr(entry, "idx", entry))))
-        paths.append("/".join(parts))
-    return paths
+    return ["/".join(_key_str(entry) for entry in path) for path, _ in flat]
 
 
 def save_checkpoint(directory: str, state: PyTree, step: Optional[int] = None,
@@ -104,23 +114,47 @@ def restore_partial(path: str, target: PyTree, strict: bool = False) -> PyTree:
         raise ValueError("checkpoint has no leaf paths (older format); "
                          "use restore_checkpoint with a matching structure")
     with np.load(os.path.join(path, _ARRAYS)) as data:
-        by_path = {p: data[f"arr_{i}"] for i, p in enumerate(manifest["paths"])}
+        by_path = {}
+        for i, p in enumerate(manifest["paths"]):
+            name = _norm_path(p)
+            by_path.setdefault(name, data[f"arr_{i}"])
+            # a full-TrainState checkpoint restores into a bare params tree:
+            # strip the 'params/' namespace as an alias (lower priority than
+            # an exact match)
+            if name.startswith("params/"):
+                by_path.setdefault(name[len("params/"):], data[f"arr_{i}"])
 
     flat = jax.tree_util.tree_flatten_with_path(target)
     leaves_with_path, treedef = flat
     new_leaves = []
     missing = []
     for pathkeys, leaf in leaves_with_path:
-        parts = [str(getattr(e, "key", getattr(e, "idx", e))) for e in pathkeys]
-        name = "/".join(parts)
-        if name in by_path and tuple(by_path[name].shape) == tuple(np.shape(leaf)):
-            new_leaves.append(by_path[name])
+        name = _norm_path("/".join(_key_str(e) for e in pathkeys))
+        # aliases bridge the TrainState namespace in both directions:
+        # TrainState ckpt → bare-params target (via the by_path alias) and
+        # bare-params ckpt → TrainState target (strip the target prefix)
+        candidates = [name, f"params/{name}"]
+        if name.startswith("params/"):
+            candidates.append(name[len("params/"):])
+        hit = next((c for c in candidates
+                    if c in by_path
+                    and tuple(by_path[c].shape) == tuple(np.shape(leaf))), None)
+        if hit is not None:
+            new_leaves.append(by_path[hit])
         else:
             missing.append(name)
             new_leaves.append(leaf)
     if strict and missing:
         raise KeyError(f"missing/mismatched leaves in checkpoint: {missing[:8]}"
                        f"{'...' if len(missing) > 8 else ''}")
+    if len(missing) == len(leaves_with_path) and leaves_with_path:
+        # zero leaves matched: proceeding silently would hand back freshly
+        # initialized weights as if restored (e.g. latent extraction on
+        # random weights) — always an error, strict or not
+        raise ValueError(
+            f"restore_partial matched 0 of {len(leaves_with_path)} target "
+            f"leaves from {path}; checkpoint paths look like "
+            f"{manifest['paths'][:3]} — wrong checkpoint or namespace")
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 

@@ -122,6 +122,12 @@ def run_search(
     results = pd.DataFrame(rows)
 
     vals = results[metric].astype(float)
+    if vals.isna().all():
+        # every trial failed/NaN: idxmax would return NaN and int() raise —
+        # surface a real error on the failure-handling path instead
+        raise RuntimeError(
+            f"all {len(trials)} trials produced NaN {metric}; "
+            "no best trial to select")
     best_idx = int(vals.idxmax() if mode == "max" else vals.idxmin())
     best_trial = trials[best_idx]
 

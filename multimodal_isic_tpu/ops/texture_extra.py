@@ -334,21 +334,26 @@ def shape2d_features(mask: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     elongation = jnp.sqrt(jnp.maximum(eigs[0], 0.0) /
                           jnp.maximum(eigs[1], EPS))
 
-    # maximum diameter: max pairwise distance between boundary pixels
-    erode = inside
-    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
-        erode = erode * _shift(inside, dy, dx, 0.0)
-    boundary = (inside > 0) & (erode == 0)
-    by = jnp.where(boundary, ys, jnp.nan).reshape(-1)
-    bx = jnp.where(boundary, xs, jnp.nan).reshape(-1)
-    # bounded subset: project onto the convex-hull-bearing extremes per row
-    # (cheap O(H·W + H²) instead of all-pairs over every boundary pixel)
-    row_min_x = jnp.nanmin(jnp.where(boundary, xs, jnp.nan), axis=1)
-    row_max_x = jnp.nanmax(jnp.where(boundary, xs, jnp.nan), axis=1)
-    rows_y = jnp.arange(h, dtype=jnp.float32)
-    pts_y = jnp.concatenate([rows_y, rows_y])
-    pts_x = jnp.concatenate([row_min_x, row_max_x])
-    valid = ~jnp.isnan(pts_x)
+    # maximum diameter: max pairwise distance between MARCHING-SQUARES mesh
+    # vertices (pyradiomics computes it over the half-pixel-offset boundary
+    # mesh, not pixel centers).  The crossing vertices are exactly the
+    # midpoints of every 4-adjacent pixel pair (incl. padding) whose inside
+    # values differ: horizontal pairs → (y, x+0.5), vertical → (y+0.5, x).
+    # Per-row min/max x suffices for the diameter (the farthest pair is
+    # extremal in x within its own row), giving O(H² ) instead of all-pairs.
+    hcross = padded[:, :-1] != padded[:, 1:]   # [h+2, w+1] at (r-1, c-0.5)
+    vcross = padded[:-1, :] != padded[1:, :]   # [h+1, w+2] at (r-0.5, c-1)
+    hx = jnp.arange(w + 1, dtype=jnp.float32)[None, :] - 0.5
+    vx = jnp.arange(w + 2, dtype=jnp.float32)[None, :] - 1.0
+    h_min = jnp.min(jnp.where(hcross, hx, jnp.inf), axis=1)
+    h_max = jnp.max(jnp.where(hcross, hx, -jnp.inf), axis=1)
+    v_min = jnp.min(jnp.where(vcross, vx, jnp.inf), axis=1)
+    v_max = jnp.max(jnp.where(vcross, vx, -jnp.inf), axis=1)
+    hy = jnp.arange(h + 2, dtype=jnp.float32) - 1.0
+    vy = jnp.arange(h + 1, dtype=jnp.float32) - 0.5
+    pts_y = jnp.concatenate([hy, hy, vy, vy])
+    pts_x = jnp.concatenate([h_min, h_max, v_min, v_max])
+    valid = jnp.isfinite(pts_x)
     px = jnp.where(valid, pts_x, 0.0)
     py = jnp.where(valid, pts_y, 0.0)
     d2 = ((px[:, None] - px[None, :]) ** 2 + (py[:, None] - py[None, :]) ** 2)

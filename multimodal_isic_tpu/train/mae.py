@@ -33,11 +33,12 @@ from ..models.convmae import ConvMAE
 def mae_optimizer(encoder_lr: float = 1e-5, decoder_lr: float = 1e-3,
                   weight_decay: float = 0.05) -> Optimizer:
     """AdamW with the reference's encoder/decoder LR split: any parameter
-    whose path mentions 'decoder'/'dec_'/'mask_token' gets the decoder LR
-    (the reference splits on 'decoder' in the torch param name,
-    ``train_ae.py:145-146``)."""
+    whose path mentions 'decoder'/'dec_' gets the decoder LR (the reference
+    splits purely on 'decoder' in the torch param name,
+    ``train_ae.py:145-146`` — so ``mask_token``, which does not contain
+    'decoder', trains at the ENCODER LR there, and does here too)."""
     def lr(path: str) -> float:
-        is_dec = ("decoder" in path) or ("dec_" in path) or ("mask_token" in path)
+        is_dec = ("decoder" in path) or ("dec_" in path)
         return decoder_lr if is_dec else encoder_lr
     return adamw(lr, b1=0.9, b2=0.95, weight_decay=weight_decay)
 

@@ -28,7 +28,8 @@ from ..core.optim import make_optimizer
 from ..core.splits import StratifiedShuffleSplit, weighted_sample_indices
 from ..core.train_state import TrainState
 from ..models.graph_mil import GraphMIL
-from ..models.graphs import build_grid_adj, build_knn_adj, build_random_adj
+from ..models.graphs import (build_grid_adj_dynamic, build_knn_adj,
+                             build_random_adj)
 from ..models.mil import AttentionMIL, mil_loss
 
 
@@ -45,17 +46,22 @@ def pad_bags(bags: Sequence[np.ndarray], max_n: Optional[int] = None):
 
 
 def _adj_for_bag(x, valid, cfg, key):
+    """Graph topology over the TRUE bag nodes: the reference builds each
+    graph from the real N_i instances (``utils_g_mil.py:549-605``), so the
+    builders receive ``valid`` — padded rows never occupy neighbor slots and
+    the grid covers √n_valid, not √max_n."""
     gtype = cfg.get("graph_type", "grid")
     if gtype == "grid":
-        adj_norm, adj_mask = build_grid_adj(
-            x.shape[0], bool(cfg.get("connect_diagonals", False)))
+        _, adj_mask = build_grid_adj_dynamic(
+            valid, bool(cfg.get("connect_diagonals", False)))
         return adj_mask
     if gtype == "knn":
         k = cfg.get("k_neighbors", None)
-        return build_knn_adj(x, 8 if k is None else int(k))
+        return build_knn_adj(x, 8 if k is None else int(k), valid=valid)
     if gtype == "random":
         k = cfg.get("k_neighbors", None)
-        return build_random_adj(key, x.shape[0], 4 if k is None else int(k))
+        return build_random_adj(key, x.shape[0], 4 if k is None else int(k),
+                                valid=valid)
     raise ValueError(f"Unsupported graph_type='{gtype}'")
 
 

@@ -250,3 +250,24 @@ def test_bf16_mixed_precision_training(eight_devices):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_mae_optimizer_lr_split_routes_like_reference():
+    """The reference splits param groups purely on 'decoder' in the torch
+    name (train_ae.py:145-146): decoder modules get decoder_lr, everything
+    else — INCLUDING mask_token — trains at encoder_lr."""
+    params = {"mask_token": jnp.zeros((4,)),
+              "decoder_embed": {"kernel": jnp.zeros((4, 4))},
+              "dec_blocks_0": {"fc": {"kernel": jnp.zeros((4, 4))}},
+              "patch_embed": {"kernel": jnp.zeros((4, 4))}}
+    opt = mae_optimizer(encoder_lr=1e-5, decoder_lr=1e-3)
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    new_params, _ = opt.apply(grads, state, params)
+    # first AdamW step from zero params: |delta| ~= lr (m_hat/(sqrt(v_hat)+eps))
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(b - a).max()),
+                               params, new_params)
+    assert d["mask_token"] == pytest.approx(1e-5, rel=1e-3)          # encoder LR
+    assert d["patch_embed"]["kernel"] == pytest.approx(1e-5, rel=1e-3)
+    assert d["decoder_embed"]["kernel"] == pytest.approx(1e-3, rel=1e-3)
+    assert d["dec_blocks_0"]["fc"]["kernel"] == pytest.approx(1e-3, rel=1e-3)

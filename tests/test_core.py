@@ -157,3 +157,31 @@ def test_restore_partial_strict_false_semantics(tmp_path):
     with pytest.raises(KeyError):
         ckpt.restore_partial(path, target, strict=True)  # new_head missing
     assert "encoder/w" in ckpt.checkpoint_paths(path)
+
+
+def test_restore_partial_across_trainstate_namespace(tmp_path):
+    """A full-TrainState checkpoint must restore into a bare params tree (and
+    vice versa): the '(.)params/' namespace is stripped when matching, and a
+    zero-match restore raises instead of silently returning random weights
+    (the save_latent.py:49 failure mode)."""
+    opt = O.adamw(1e-3)
+    params = {"embed1": {"kernel": jnp.full((2, 3), 4.0), "bias": jnp.ones(3)}}
+    state = TrainState.create(params, opt, jax.random.PRNGKey(0))
+    state_path = ckpt.save_checkpoint(str(tmp_path / "state"), state, step=1)
+
+    # TrainState checkpoint -> bare params target
+    target = jax.tree_util.tree_map(jnp.zeros_like, params)
+    out = ckpt.restore_partial(state_path, target)
+    np.testing.assert_allclose(np.asarray(out["embed1"]["kernel"]), 4.0)
+    np.testing.assert_allclose(np.asarray(out["embed1"]["bias"]), 1.0)
+
+    # bare params checkpoint -> TrainState target (params restored, opt kept)
+    params_path = ckpt.save_checkpoint(str(tmp_path / "params"), params)
+    fresh = TrainState.create(
+        jax.tree_util.tree_map(jnp.zeros_like, params), opt, jax.random.PRNGKey(1))
+    out2 = ckpt.restore_partial(params_path, fresh)
+    np.testing.assert_allclose(np.asarray(out2.params["embed1"]["kernel"]), 4.0)
+
+    # zero leaves matched -> hard error, even with strict=False
+    with pytest.raises(ValueError, match="matched 0"):
+        ckpt.restore_partial(state_path, {"totally": {"different": jnp.zeros(5)}})

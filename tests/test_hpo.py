@@ -71,3 +71,14 @@ def test_run_search_end_to_end(rng, tmp_path):
     # best trial's metric is the max over trials
     assert out["best_trial"].final["val_bacc"] == pytest.approx(
         out["results"]["val_bacc"].astype(float).max())
+
+
+def test_run_search_all_nan_sweep_raises_cleanly(tmp_path):
+    """Every trial failing below the max_failures cutoff used to crash on
+    int(idxmax-of-all-NaN); it must raise a real error instead."""
+    def exploding_trainable(config, data, **kw):
+        raise FloatingPointError("boom")
+
+    with pytest.raises(RuntimeError, match="NaN"):
+        run_search(exploding_trainable, MIL_SPACE, {}, num_samples=3,
+                   max_failures=5, seed=0, verbose=False)

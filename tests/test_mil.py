@@ -108,6 +108,69 @@ def test_random_adjacency_degree_and_symmetry():
     assert (adj.sum(1) >= 4).all()  # symmetrization can only add edges
 
 
+def test_knn_adjacency_valid_aware(rng):
+    """Padded bags: kNN must be computed over the TRUE instances only — the
+    reference builds it from the real N_i nodes (utils_g_mil.py:527-546), so
+    padding zero-rows may never occupy neighbor slots."""
+    n_real, n_pad, k = 12, 20, 5
+    x_real = 10.0 + rng.randn(n_real, 6).astype(np.float32)  # far from zero
+    x_pad = np.zeros((n_pad, 6), np.float32)
+    x_pad[:n_real] = x_real
+    valid = np.zeros(n_pad, bool)
+    valid[:n_real] = True
+
+    adj_pad = np.asarray(G.build_knn_adj(jnp.asarray(x_pad), k=k,
+                                         valid=jnp.asarray(valid)))
+    adj_real = np.asarray(G.build_knn_adj(jnp.asarray(x_real), k=k))
+    # identical topology on the real block, nothing anywhere else
+    np.testing.assert_array_equal(adj_pad[:n_real, :n_real], adj_real)
+    assert adj_pad[n_real:].sum() == 0 and adj_pad[:, n_real:].sum() == 0
+    # every valid node keeps its full k neighbors (not silently fewer)
+    assert (adj_pad[:n_real].sum(1) == k).all()
+    # tiny bag: n_valid-1 < k degrades gracefully to n_valid-1 neighbors
+    small_valid = np.zeros(n_pad, bool)
+    small_valid[:3] = True
+    adj_small = np.asarray(G.build_knn_adj(jnp.asarray(x_pad), k=k,
+                                           valid=jnp.asarray(small_valid)))
+    assert (adj_small[:3].sum(1) == 2).all()
+    assert adj_small[3:].sum() == 0
+
+
+def test_random_adjacency_valid_aware():
+    n_real, n_pad, k = 9, 16, 4
+    valid = np.zeros(n_pad, bool)
+    valid[:n_real] = True
+    adj = np.asarray(G.build_random_adj(jax.random.PRNGKey(3), n_pad, k=4,
+                                        valid=jnp.asarray(valid)))
+    assert (adj == adj.T).all()
+    assert np.diag(adj).sum() == 0
+    # no edge touches a padded node; every valid node sampled k targets
+    assert adj[n_real:].sum() == 0 and adj[:, n_real:].sum() == 0
+    assert (adj[:n_real].sum(1) >= k).all()
+
+
+def test_grid_adjacency_dynamic_true_bag_size():
+    """A bag of 9 valid nodes in a 16-padded array gets a 3x3 grid (the
+    reference builds the grid over the real node count), NOT the first 9
+    nodes of a 4x4 grid."""
+    valid = np.zeros(16, bool)
+    valid[:9] = True
+    adj_norm, adj_mask = G.build_grid_adj_dynamic(jnp.asarray(valid))
+    ref_norm, ref_mask = G.build_grid_adj(9)
+    np.testing.assert_array_equal(np.asarray(adj_mask)[:9, :9],
+                                  np.asarray(ref_mask))
+    np.testing.assert_allclose(np.asarray(adj_norm)[:9, :9],
+                               np.asarray(ref_norm), rtol=1e-6)
+    # padded nodes: self-loop only
+    off = np.asarray(adj_mask)[9:]
+    assert (off.sum(1) == 1).all() and (np.diag(np.asarray(adj_mask))[9:] == 1).all()
+    # full bag reproduces the static builder exactly
+    _, m16 = G.build_grid_adj_dynamic(jnp.ones(16, bool),
+                                      connect_diagonals=True)
+    _, ref16 = G.build_grid_adj(16, connect_diagonals=True)
+    np.testing.assert_array_equal(np.asarray(m16), np.asarray(ref16))
+
+
 # ------------------------------------------------------------- graph layers
 
 def test_gcn_layer_matches_formula(rng):

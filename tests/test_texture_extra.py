@@ -168,9 +168,11 @@ def test_shape2d_rectangle():
     assert 9 * 19 < float(feats["MeshSurface"]) <= 200
     # perimeter ≈ 2*(10+20) with corner smoothing
     assert 50 < float(feats["Perimeter"]) < 62
-    # max diameter ≈ rectangle diagonal over pixel centers
-    expected_diag = np.hypot(9, 19)
-    assert float(feats["MaximumDiameter"]) == pytest.approx(expected_diag, rel=0.02)
+    # max diameter over marching-squares mesh vertices (pyradiomics
+    # semantics): farthest pair is a horizontal-crossing vertex pair
+    # (y=5, x=3.5) ↔ (y=14, x=23.5)
+    expected_diag = np.hypot(9, 20)
+    assert float(feats["MaximumDiameter"]) == pytest.approx(expected_diag, rel=1e-5)
     assert float(feats["MajorAxisLength"]) > float(feats["MinorAxisLength"])
     # uniform rectangle: major/minor from exact covariance of uniform grid
     xs = np.arange(4, 24)
@@ -191,4 +193,6 @@ def test_shape2d_disk_sphericity():
     # staircase rasterization inflates the marching-squares perimeter a bit
     assert 0.90 < float(feats["Sphericity"]) <= 1.0
     assert float(feats["Elongation"]) == pytest.approx(1.0, abs=0.05)
-    assert float(feats["MaximumDiameter"]) == pytest.approx(30.0, rel=0.05)
+    # vertex-based diameter: half a pixel beyond the outermost pixel centers
+    # on each side (31 = 30 pixel-center span + 2×0.5)
+    assert float(feats["MaximumDiameter"]) == pytest.approx(31.0, rel=0.02)
