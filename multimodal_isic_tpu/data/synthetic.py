@@ -72,7 +72,10 @@ def make_synthetic_isic(
         rows = []
         for i in range(n):
             dx_idx = i % len(DX_CLASSES) if i < 2 * len(DX_CLASSES) else rng.randint(len(DX_CLASSES))
-            image_id = f"SYN_{split}_{i:07d}"
+            # ISIC-style id: 'ISIC_0027419' → basename.split('_')[1] is the
+            # per-image numeric field the patient-bag grouping keys on
+            # (tune_mil.py:66-71), so each synthetic image is its own patient
+            image_id = f"SYN{split}_{i:07d}"
             img, mask = _render_sample(rng, h, w, dx_idx)
             cv2.imwrite(os.path.join(img_dir, f"{image_id}.jpg"),
                         cv2.cvtColor(img, cv2.COLOR_RGB2BGR))

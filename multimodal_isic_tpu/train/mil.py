@@ -226,6 +226,7 @@ def _train_core(model, is_graph: bool, config: Dict, data: Dict, seed: int,
         report_fn(final_report)
     final_report["_best_by_bacc_params"] = best_by_bacc["params"]
     final_report["_best_by_loss_params"] = best_by_loss["params"]
+    final_report["_test_best_bacc"] = test_best_bacc  # full 10-metric dicts
     final_report["_test_best_loss"] = test_best_loss
     return final_report
 

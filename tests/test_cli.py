@@ -184,3 +184,61 @@ def test_save_latent_cli_tiny(workspace, monkeypatch, tmp_path):
     frame = pd.read_pickle(out / "patch_level_latents_train_df.pkl")
     assert {"patch_id", "patch_latent", "patch_in_mask",
             "patch_latent_pca"} <= set(frame.columns)
+
+
+def test_use_latent_checkpoint_sweep_cli(workspace, monkeypatch, tmp_path):
+    """Per-AE-checkpoint CV sweep (reference use_latent.py:69-81,142-170,
+    494-547): 2 checkpoints, the first forced to fail -> NaN rows for it,
+    real aggregated metrics for the good one, incremental cross-model CSV +
+    config-hash snapshot."""
+    import jax
+    import yaml
+    from multimodal_isic_tpu.cli import prepare_df, use_latent
+    from multimodal_isic_tpu.core import checkpoint as ckpt
+    from multimodal_isic_tpu.models.convmae import ConvMAE
+    from multimodal_isic_tpu.train.mae import init_mae
+
+    root, cfg, dirs = workspace
+    # own dataset: the nested CV (2 folds, then a stratified 80/20 inside
+    # each trainable) needs >=2 bags per class in every split -> 72 patients
+    dirs72 = make_synthetic_isic(str(tmp_path / "data72"), n_train=72,
+                                 n_test=8, image_hw=(64, 80), seed=7)
+    config = yaml.safe_load(open(cfg))
+    config["dir"] = dirs72
+    config["training_plan"]["parameters"]["model_size"] = "tiny"
+    cfg_tiny = str(root / "config_tiny_sweep.yml")
+    open(cfg_tiny, "w").write(yaml.safe_dump(config))
+    prepare_df.main(["--config_path", cfg_tiny])
+
+    full = ConvMAE(embed_dims=(32, 48, 64), depths=(1, 1, 2), num_heads=4,
+                   decoder_dim=32, decoder_depth=1, decoder_heads=4)
+    good = str(tmp_path / "good_ckpt")
+    ckpt.save_checkpoint(good, init_mae(full, jax.random.PRNGKey(3)))
+    # a checkpoint of a COMPLETELY different tree: restore_partial matches
+    # zero leaves and raises, so this model's latent extraction fails
+    bad = str(tmp_path / "bad_ckpt")
+    ckpt.save_checkpoint(bad, {"unrelated": {"w": np.zeros(3, np.float32)}})
+
+    monkeypatch.chdir(tmp_path)
+    out_dir = tmp_path / "mil_results"
+    use_latent.main(["--config_path", cfg_tiny, "--model_type", "mil",
+                     "--checkpoints", f"{bad},{good}",
+                     "--n_folds", "2", "--max_epochs", "2", "--patience", "2",
+                     "--out_dir", str(out_dir)])
+
+    csvs = [f for f in os.listdir(out_dir)
+            if f.startswith("runs_df_mil_results_")]
+    assert len(csvs) == 1
+    res = pd.read_csv(out_dir / csvs[0])
+    assert len(res) == 4  # 2 checkpoints x (best_bacc, best_loss)
+    assert list(res["checkpoint_type"]) == ["best_bacc", "best_loss"] * 2
+    bad_rows = res[res["id"] == "manual_0"]
+    good_rows = res[res["id"] == "manual_1"]
+    assert bad_rows["micro_accuracy"].isna().all()      # failed -> NaN row
+    assert np.isfinite(good_rows["micro_accuracy"]).all()
+    assert np.isfinite(good_rows["weighted_f1_std"]).all()
+    # config snapshot with hash header, written once
+    snaps = [f for f in os.listdir(out_dir) if f.startswith("config_")]
+    assert len(snaps) == 1
+    first_line = open(out_dir / snaps[0]).readline()
+    assert first_line.startswith("# config_hash: ")

@@ -17,7 +17,7 @@ from multimodal_isic_tpu.utils.logging import RunLogger
 
 def test_patient_id_parsing():
     assert patient_id_from_path("/data/ISIC_0024306.jpg") == "0024306"
-    assert patient_id_from_path("SYN_train_0000001.jpg") == "train"
+    assert patient_id_from_path("SYNtrain_0000001.jpg") == "0000001"
     assert patient_id_from_path("noid.jpg") == "noid"
 
 
