@@ -78,6 +78,26 @@ def main(argv=None) -> None:
         model = convmae_convvit_base_patch16_dec512d8b(
             norm_pix_loss=params_cfg["norm_pix_loss"])
     params = init_mae(model, pool["init"].next())
+
+    # pretrained initialization with strict=False semantics (the reference
+    # loads the upstream ConvMAE/checkpoint.pth this way, train_ae.py:136-141)
+    pretrained = params_cfg.get("pretrained_ckpt", "")
+    if pretrained:
+        if pretrained.endswith((".pth", ".pt")):  # torch checkpoint
+            import torch
+
+            from ..models.convmae import load_pretrained
+            blob = torch.load(pretrained, map_location="cpu",
+                              weights_only=False)
+            if isinstance(blob, dict) and isinstance(blob.get("model"), dict):
+                blob = blob["model"]  # upstream wraps the state dict
+            params = load_pretrained(
+                params, {k: np.asarray(v) for k, v in blob.items()}, model)
+            print(f"Initialized from torch checkpoint {pretrained}")
+        else:  # this framework's npz checkpoint dir
+            params = ckpt.restore_partial(pretrained, params)
+            print(f"Initialized from checkpoint {pretrained}")
+
     logger = RunLogger(config.get("log_dir", "runs"), config=config.to_dict())
     encoder_step = make_encoder_step(model)
 

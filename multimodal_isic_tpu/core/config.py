@@ -85,6 +85,8 @@ class TrainParameters(_DictAccess):
     eval_masking_ratio: float = 0.75
     include_lesion_mask: bool = False
     model_size: str = "base"  # 'base' (ConvViT-B) | 'tiny' (tests/demos)
+    pretrained_ckpt: str = ""  # torch .pth (upstream ConvMAE naming) or this
+    # framework's checkpoint dir; loaded strict=False (train_ae.py:136-141)
 
 
 @dataclass(frozen=True)

@@ -309,3 +309,120 @@ def convmae_convvit_base_patch16_dec512d8b(norm_pix_loss: bool = False,
     """Constructor named for discoverability against the reference import
     (``train_ae.py:25``)."""
     return ConvMAE(norm_pix_loss=norm_pix_loss, with_decoder=with_decoder)
+
+
+# --------------------------------------------------- torch weight porting
+
+def port_torch_state_dict(state_dict, model: ConvMAE):
+    """Convert a torch ConvMAE state dict (upstream ``ConvMAE/checkpoint.pth``
+    naming: ``patch_embed{1,2,3}.proj/norm``, ``blocks{1,2}.N`` conv blocks,
+    ``blocks3.N`` ViT blocks, ``norm``, ``decoder_*``, ``mask_token``) into a
+    params pytree for :class:`ConvMAE`, plus the list of target module names
+    the checkpoint did not cover.
+
+    This is the capability behind the reference's
+    ``load_state_dict(..., strict=False)`` initialization
+    (``train_ae.py:136-141``): missing modules (e.g. a decoder absent from an
+    encoder-only dump) are simply reported, and the caller keeps its fresh
+    initialization for them — see :func:`load_pretrained`.
+
+    Layout rules: torch OIHW conv → flax HWIO (depthwise [C,1,k,k] →
+    [k,k,1,C]); ``Linear.weight`` → transposed Dense kernel; LayerNorm
+    weight/bias → scale/bias; ``pos_embed`` [1,N,D] → [N,D].
+    """
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    missing = []
+
+    def conv(prefix):
+        out = {"kernel": jnp.asarray(sd[f"{prefix}.weight"].transpose(2, 3, 1, 0))}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+        return out
+
+    def ln(prefix):
+        return {"scale": jnp.asarray(sd[f"{prefix}.weight"]),
+                "bias": jnp.asarray(sd[f"{prefix}.bias"])}
+
+    def dense(prefix):
+        out = {"kernel": jnp.asarray(sd[f"{prefix}.weight"].T)}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+        return out
+
+    def cblock(t):
+        return {"LayerNorm_0": ln(f"{t}.norm1"), "Conv_0": conv(f"{t}.conv1"),
+                "Conv_1": conv(f"{t}.attn"), "Conv_2": conv(f"{t}.conv2"),
+                "LayerNorm_1": ln(f"{t}.norm2"), "Conv_3": conv(f"{t}.mlp.fc1"),
+                "Conv_4": conv(f"{t}.mlp.fc2")}
+
+    def vit_block(t):
+        return {"LayerNorm_0": ln(f"{t}.norm1"),
+                "Attention_0": {"Dense_0": dense(f"{t}.attn.qkv"),
+                                "Dense_1": dense(f"{t}.attn.proj")},
+                "LayerNorm_1": ln(f"{t}.norm2"),
+                "Mlp_0": {"Dense_0": dense(f"{t}.mlp.fc1"),
+                          "Dense_1": dense(f"{t}.mlp.fc2")}}
+
+    params = {}
+
+    def put(name, fn, *args):
+        try:
+            params[name] = fn(*args)
+        except KeyError:
+            missing.append(name)
+
+    put("embed1", conv, "patch_embed1.proj")
+    put("embed1_norm", ln, "patch_embed1.norm")
+    put("embed2", conv, "patch_embed2.proj")
+    put("embed2_norm", ln, "patch_embed2.norm")
+    put("embed3", conv, "patch_embed3.proj")
+    put("embed3_norm", ln, "patch_embed3.norm")
+    for i in range(model.depths[0]):
+        put(f"stage1_{i}", cblock, f"blocks1.{i}")
+    for i in range(model.depths[1]):
+        put(f"stage2_{i}", cblock, f"blocks2.{i}")
+    for i in range(model.depths[2]):
+        put(f"vit_{i}", vit_block, f"blocks3.{i}")
+    put("encoder_norm", ln, "norm")
+    if "pos_embed" in sd:
+        params["pos_embed"] = jnp.asarray(
+            sd["pos_embed"][0] if sd["pos_embed"].ndim == 3 else sd["pos_embed"])
+    else:
+        missing.append("pos_embed")
+    if model.with_decoder:
+        put("decoder_embed", dense, "decoder_embed")
+        if "mask_token" in sd:
+            params["mask_token"] = jnp.asarray(sd["mask_token"])
+        else:
+            missing.append("mask_token")
+        for i in range(model.decoder_depth):
+            put(f"dec_blocks_{i}", vit_block, f"decoder_blocks.{i}")
+        put("decoder_norm", ln, "decoder_norm")
+        put("decoder_pred", dense, "decoder_pred")
+    return params, missing
+
+
+def load_pretrained(params, state_dict, model: ConvMAE, log=print):
+    """Merge a torch ConvMAE checkpoint into freshly initialized ``params``
+    with the reference's ``strict=False`` semantics (``train_ae.py:139-141``):
+    mapped modules are replaced only when their leaf shapes match; everything
+    else keeps its initialization."""
+    ported, missing = port_torch_state_dict(state_dict, model)
+    merged = dict(params)
+    skipped = []
+    for name, sub in ported.items():
+        if name not in merged:
+            skipped.append(name)
+            continue
+        want = jax.tree_util.tree_map(jnp.shape, merged[name])
+        have = jax.tree_util.tree_map(jnp.shape, sub)
+        if want != have:
+            skipped.append(name)
+            continue
+        merged[name] = sub
+    if (missing or skipped) and log is not None:
+        log(f"load_pretrained: kept init for missing={missing} "
+            f"shape-mismatched={skipped}")
+    return merged

@@ -111,3 +111,189 @@ def build_torch_efficientnet(model_name: str = "efficientnet-b3",
             return self._fc(self._dropout(x))
 
     return EffNet()
+
+
+def build_torch_convmae(img_size=224, embed_dims=(256, 384, 768),
+                        depths=(2, 2, 11), num_heads=12, decoder_dim=512,
+                        decoder_depth=8, decoder_heads=16,
+                        norm_pix_loss=False):
+    """Torch twin of :class:`..models.convmae.ConvMAE` with the upstream
+    ConvMAE state-dict naming (``patch_embed{1,2,3}``, ``blocks{1,2,3}``,
+    ``norm``, ``decoder_*``, ``mask_token`` — the checkpoint format the
+    reference loads at ``train_ae.py:136-141``).  Its ``state_dict()`` feeds
+    :func:`..models.convmae.port_torch_state_dict`; its forward takes the
+    masking bookkeeping (ids_keep/mask/ids_restore) explicitly so parity
+    tests are RNG-free."""
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    from ..models.convmae import sincos_pos_embed
+
+    class ChannelLN(nn.Module):
+        """LayerNorm over the channel dim of NCHW maps (flax LN on NHWC)."""
+
+        def __init__(self, dim):
+            super().__init__()
+            self.weight = nn.Parameter(torch.ones(dim))
+            self.bias = nn.Parameter(torch.zeros(dim))
+
+        def forward(self, x):  # [B, C, H, W]
+            h = x.permute(0, 2, 3, 1)
+            h = nn.functional.layer_norm(h, h.shape[-1:], self.weight, self.bias)
+            return h.permute(0, 3, 1, 2)
+
+    class CMlp(nn.Module):
+        def __init__(self, dim, hidden):
+            super().__init__()
+            self.fc1 = nn.Conv2d(dim, hidden, 1)
+            self.fc2 = nn.Conv2d(hidden, dim, 1)
+
+        def forward(self, x):
+            return self.fc2(nn.functional.gelu(self.fc1(x)))
+
+    class CBlock(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.norm1 = ChannelLN(dim)
+            self.conv1 = nn.Conv2d(dim, dim, 1)
+            self.attn = nn.Conv2d(dim, dim, 5, padding=2, groups=dim)
+            self.conv2 = nn.Conv2d(dim, dim, 1)
+            self.norm2 = ChannelLN(dim)
+            self.mlp = CMlp(dim, dim * 4)
+
+        def forward(self, x, keep=None):
+            h = self.conv1(self.norm1(x))
+            if keep is not None:
+                h = h * keep
+            h = self.conv2(nn.functional.gelu(self.attn(h)))
+            x = x + h
+            return x + self.mlp(self.norm2(x))
+
+    class VitAttention(nn.Module):
+        def __init__(self, dim, heads):
+            super().__init__()
+            self.heads = heads
+            self.qkv = nn.Linear(dim, dim * 3)
+            self.proj = nn.Linear(dim, dim)
+
+        def forward(self, x):
+            b, n, d = x.shape
+            hd = d // self.heads
+            qkv = self.qkv(x).reshape(b, n, 3, self.heads, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            q = q * hd ** -0.5
+            attn = torch.einsum("bqhd,bkhd->bhqk", q, k).softmax(dim=-1)
+            out = torch.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
+            return self.proj(out)
+
+    class VitMlp(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.fc1 = nn.Linear(dim, dim * 4)
+            self.fc2 = nn.Linear(dim * 4, dim)
+
+        def forward(self, x):
+            return self.fc2(nn.functional.gelu(self.fc1(x)))
+
+    class VitBlock(nn.Module):
+        def __init__(self, dim, heads):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim)
+            self.attn = VitAttention(dim, heads)
+            self.norm2 = nn.LayerNorm(dim)
+            self.mlp = VitMlp(dim)
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class PatchEmbed(nn.Module):
+        def __init__(self, cin, cout, k):
+            super().__init__()
+            self.proj = nn.Conv2d(cin, cout, k, stride=k)
+            self.norm = ChannelLN(cout)
+
+        def forward(self, x):
+            return self.norm(self.proj(x))
+
+    class TorchConvMAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            d0, d1, d2 = embed_dims
+            g = img_size // 16
+            self.grid = g
+            self.patch_embed1 = PatchEmbed(3, d0, 4)
+            self.blocks1 = nn.ModuleList(CBlock(d0) for _ in range(depths[0]))
+            self.patch_embed2 = PatchEmbed(d0, d1, 2)
+            self.blocks2 = nn.ModuleList(CBlock(d1) for _ in range(depths[1]))
+            self.patch_embed3 = nn.ModuleDict({
+                "proj": nn.Conv2d(d1, d2, 2, stride=2),
+                "norm": nn.LayerNorm(d2)})
+            self.pos_embed = nn.Parameter(torch.from_numpy(
+                np.asarray(sincos_pos_embed(d2, g))[None]).float())
+            self.blocks3 = nn.ModuleList(
+                VitBlock(d2, num_heads) for _ in range(depths[2]))
+            self.norm = nn.LayerNorm(d2)
+            self.decoder_embed = nn.Linear(d2, decoder_dim)
+            self.mask_token = nn.Parameter(torch.randn(1, 1, decoder_dim) * 0.02)
+            self.decoder_blocks = nn.ModuleList(
+                VitBlock(decoder_dim, decoder_heads) for _ in range(decoder_depth))
+            self.decoder_norm = nn.LayerNorm(decoder_dim)
+            self.decoder_pred = nn.Linear(decoder_dim, 16 * 16 * 3)
+            self.register_buffer("dec_pos", torch.from_numpy(
+                np.asarray(sincos_pos_embed(decoder_dim, g))[None]).float())
+
+        def encode(self, imgs, ids_keep, mask):
+            b = imgs.shape[0]
+            g = self.grid
+            keep3 = (1.0 - mask).reshape(b, 1, g, g)
+            keep1 = keep3.repeat_interleave(4, 2).repeat_interleave(4, 3)
+            keep2 = keep3.repeat_interleave(2, 2).repeat_interleave(2, 3)
+            full = bool((mask == 0).all())
+            x = self.patch_embed1(imgs)
+            for blk in self.blocks1:
+                x = blk(x, None if full else keep1)
+            x = self.patch_embed2(x)
+            for blk in self.blocks2:
+                x = blk(x, None if full else keep2)
+            x = self.patch_embed3["proj"](x)
+            x = x.flatten(2).transpose(1, 2)  # [B, N, d2]
+            x = self.patch_embed3["norm"](x)
+            x = x + self.pos_embed
+            x = torch.gather(x, 1, ids_keep[:, :, None].expand(-1, -1, x.shape[-1]))
+            for blk in self.blocks3:
+                x = blk(x)
+            return self.norm(x)
+
+        def decode(self, latent, ids_restore):
+            b, len_keep, _ = latent.shape
+            n = ids_restore.shape[1]
+            x = self.decoder_embed(latent)
+            fills = self.mask_token.expand(b, n - len_keep, -1)
+            x = torch.cat([x, fills], dim=1)
+            x = torch.gather(x, 1, ids_restore[:, :, None].expand(-1, -1, x.shape[-1]))
+            x = x + self.dec_pos
+            for blk in self.decoder_blocks:
+                x = blk(x)
+            return self.decoder_pred(self.decoder_norm(x))
+
+        def forward(self, imgs, ids_keep, mask, ids_restore):
+            """imgs NCHW → (loss, pred, latent); masking bookkeeping given."""
+            latent = self.encode(imgs, ids_keep, mask)
+            pred = self.decode(latent, ids_restore)
+            # patchify, torch-MAE ordering (nchpwq->nhwpqc)
+            p = 16
+            b, c, h, w = imgs.shape
+            target = imgs.reshape(b, c, h // p, p, w // p, p)
+            target = torch.einsum("nchpwq->nhwpqc", target).reshape(
+                b, (h // p) * (w // p), p * p * c)
+            if norm_pix_loss:
+                mean = target.mean(-1, keepdim=True)
+                var = target.var(-1, unbiased=False, keepdim=True)
+                target = (target - mean) / (var + 1e-6).sqrt()
+            per_patch = ((pred - target) ** 2).mean(-1)
+            loss = (per_patch * mask).sum() / mask.sum().clamp(min=1.0)
+            return loss, pred, latent
+
+    return TorchConvMAE()

@@ -242,3 +242,47 @@ def test_use_latent_checkpoint_sweep_cli(workspace, monkeypatch, tmp_path):
     assert len(snaps) == 1
     first_line = open(out_dir / snaps[0]).readline()
     assert first_line.startswith("# config_hash: ")
+
+
+def test_train_ae_pretrained_ckpt_init(workspace, tmp_path):
+    """pretrained_ckpt config key: train_ae initializes from a torch ConvMAE
+    checkpoint with strict=False semantics (train_ae.py:136-141).  The torch
+    norm weight is stamped to a recognizable constant; with the encoder LR of
+    1e-5 one epoch cannot move it, so the saved best params prove the port."""
+    import jax
+    import torch
+    import yaml
+    from multimodal_isic_tpu.cli import prepare_df, train_ae
+    from multimodal_isic_tpu.core import checkpoint as ckpt
+    from multimodal_isic_tpu.utils.torch_ref import build_torch_convmae
+
+    root, cfg, dirs = workspace
+    if not os.path.exists(dirs["df"]):
+        prepare_df.main(["--config_path", cfg])
+
+    tm = build_torch_convmae(img_size=224, embed_dims=(32, 48, 64),
+                             depths=(1, 1, 2), num_heads=4, decoder_dim=32,
+                             decoder_depth=1, decoder_heads=4)
+    with torch.no_grad():
+        tm.norm.weight.fill_(7.0)
+    pth = str(tmp_path / "convmae_pretrained.pth")
+    torch.save({"model": tm.state_dict()}, pth)  # upstream 'model' wrapper
+
+    config = yaml.safe_load(open(cfg))
+    config["model_path"] = str(tmp_path / "models")
+    config["training_plan"]["parameters"].update(
+        {"epochs": 1, "batch_size": 8, "model_size": "tiny",
+         "masking_ratio": 0.75, "eval_masking_ratio": 0.5,
+         "pretrained_ckpt": pth})
+    cfg_pre = str(root / "config_tiny_pretrained.yml")
+    open(cfg_pre, "w").write(yaml.safe_dump(config))
+    train_ae.main(["--config_path", cfg_pre])
+
+    best = [d for d in os.listdir(tmp_path / "models") if len(d) == 32]
+    assert len(best) == 1
+    # read the saved leaf by name (no template needed)
+    paths = ckpt.checkpoint_paths(str(tmp_path / "models" / best[0]))
+    assert "encoder_norm/scale" in paths
+    data = np.load(os.path.join(tmp_path / "models" / best[0], "arrays.npz"))
+    scale = data[f"arr_{paths.index('encoder_norm/scale')}"]
+    np.testing.assert_allclose(scale, 7.0, atol=1e-3)

@@ -271,3 +271,66 @@ def test_mae_optimizer_lr_split_routes_like_reference():
     assert d["patch_embed"]["kernel"] == pytest.approx(1e-5, rel=1e-3)
     assert d["decoder_embed"]["kernel"] == pytest.approx(1e-3, rel=1e-3)
     assert d["dec_blocks_0"]["fc"]["kernel"] == pytest.approx(1e-3, rel=1e-3)
+
+
+def test_convmae_torch_port_parity(rng):
+    """ConvMAE weight porting (the reference's ConvMAE/checkpoint.pth init,
+    train_ae.py:136-141): a torch twin in the upstream state-dict naming is
+    ported into the flax model and both produce the same latents, predictions
+    and loss per sample, with the masking bookkeeping held fixed."""
+    import torch
+    from multimodal_isic_tpu.models.convmae import (
+        load_pretrained, port_torch_state_dict, random_masking)
+    from multimodal_isic_tpu.utils.torch_ref import build_torch_convmae
+
+    cfgs = dict(img_size=64, embed_dims=(16, 24, 32), depths=(1, 1, 2),
+                num_heads=4, decoder_dim=16, decoder_depth=1, decoder_heads=4)
+    torch_model = build_torch_convmae(**cfgs).eval()
+    jax_model = ConvMAE(**cfgs)
+    params0 = init_mae(jax_model, jax.random.PRNGKey(0))
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+
+    ported, missing = port_torch_state_dict(sd, jax_model)
+    assert missing == []  # full checkpoint covers every module
+    assert set(ported) == set(params0)
+    params = load_pretrained(params0, sd, jax_model)
+
+    imgs = rng.rand(2, 64, 64, 3).astype(np.float32)
+    b, n = 2, jax_model.num_patches
+    key = jax.random.PRNGKey(5)
+    ids_keep, mask, ids_restore = random_masking(key, b, n, 0.75)
+
+    loss_j, pred_j, mask_j = jax_model.apply(
+        {"params": params}, jnp.asarray(imgs), mask_ratio=0.75, rng=key)
+    np.testing.assert_array_equal(np.asarray(mask_j), np.asarray(mask))
+
+    with torch.no_grad():
+        loss_t, pred_t, _ = torch_model(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+            torch.from_numpy(np.asarray(ids_keep)).long(),
+            torch.from_numpy(np.asarray(mask)).float(),
+            torch.from_numpy(np.asarray(ids_restore)).long())
+    assert float(loss_j) == pytest.approx(float(loss_t), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(pred_j), pred_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+    # encoder-only path (mask_ratio=0, the save_latent.py:60 route)
+    latent_j, _, _ = jax_model.apply(
+        {"params": params}, jnp.asarray(imgs), mask_ratio=0.0,
+        method=ConvMAE.forward_encoder)
+    ids_full = torch.arange(n).expand(b, n)
+    with torch.no_grad():
+        latent_t = torch_model.encode(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2)), ids_full,
+            torch.zeros(b, n))
+    np.testing.assert_allclose(np.asarray(latent_j), latent_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+    # strict=False: an encoder-only dump keeps the fresh decoder init
+    enc_sd = {k: v for k, v in sd.items()
+              if not k.startswith(("decoder", "mask_token"))}
+    merged = load_pretrained(params0, enc_sd, jax_model, log=None)
+    np.testing.assert_allclose(np.asarray(merged["decoder_pred"]["kernel"]),
+                               np.asarray(params0["decoder_pred"]["kernel"]))
+    np.testing.assert_allclose(np.asarray(merged["encoder_norm"]["scale"]),
+                               sd["norm.weight"])

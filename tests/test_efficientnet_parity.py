@@ -12,7 +12,14 @@ from multimodal_isic_tpu.models.efficientnet import EfficientNet, port_torch_sta
 from multimodal_isic_tpu.utils.torch_ref import build_torch_efficientnet
 
 
-@pytest.mark.parametrize("name,res", [("efficientnet-b0", 64)])
+@pytest.mark.parametrize("name,res", [
+    ("efficientnet-b0", 64),
+    # B3 at reduced resolution: proves the compound-scaled block graph
+    # (depth rounding, SE-on-input-filters, drop-connect schedule) that the
+    # fusion flagship actually runs (model.py:58-59) — resolution only
+    # changes spatial dims, not the scaling path
+    ("efficientnet-b3", 96),
+])
 def test_backbone_parity_vs_torch(rng, name, res):
     tmodel = build_torch_efficientnet(name, num_classes=10)
     tmodel.eval()
