@@ -1,10 +1,16 @@
 """CLI: latent cluster analysis (reference ``cluster_latents.py``).
 
     python -m multimodal_isic_tpu.cli.cluster_latents --config_path config.yml \
-        [--patch_df dataframes_latents/patch_level_latents_train_df.pkl] [--k 20]
+        [--patch_df dataframes_latents/patch_level_latents_train_df.pkl] [--k 20] \
+        [--clusterer kmeans|density] [--embed pca|neighbor] [--viz_out prefix]
 
-On-device PCA + k-means replaces cuML UMAP+HDBSCAN as the clustering backbone
-(BASELINE.json); the purity/weighting/filter statistics match the reference.
+Two backbones: on-device PCA + k-means (BASELINE.json's sanctioned backbone,
+default) or the reference-faithful pipeline — a 20-component neighbor-graph
+embedding + mutual-reachability density clustering with a -1 noise label
+(cuML UMAP(20)+HDBSCAN(min_cluster_size=50, min_samples=10) equivalents,
+``cluster_latents.py:26-44``).  ``--viz_out`` writes the 2-D neighbor
+embeddings (euclidean + the cosine-metric variant of
+``cluster_latents.py:175-217``) with their trustworthiness scores.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from ..analysis import cluster as C
+from ..analysis import embed as E
 from ..analysis import kmeans as KM
 from ..analysis import pca as P
 from ..analysis.bags import patient_id_from_path
@@ -28,6 +35,13 @@ def main(argv=None) -> None:
                         default="dataframes_latents/patch_level_latents_train_df.pkl")
     parser.add_argument("--k", type=int, default=20)
     parser.add_argument("--out", type=str, default="df_filtered.pkl")
+    parser.add_argument("--clusterer", choices=["kmeans", "density"],
+                        default="kmeans")
+    parser.add_argument("--embed", choices=["pca", "neighbor"], default="pca")
+    parser.add_argument("--min_cluster_size", type=int, default=50)
+    parser.add_argument("--min_samples", type=int, default=10)
+    parser.add_argument("--viz_out", type=str, default="",
+                        help="prefix for 2-D embedding scatter PNGs")
     args, rest = parser.parse_known_args(argv)
     config = parse_config(rest)
 
@@ -36,15 +50,43 @@ def main(argv=None) -> None:
     y = df["target"].values.astype(int)
     num_classes = int(config.get("num_classes", 7))
 
-    state, emb20 = None, x
-    if x.shape[1] > 20:  # reduce like the reference's 20-component embedding
-        state = P.fit(x, 20)
-        emb20 = np.asarray(P.transform(state, x))
+    # 20-component embedding (the reference clusters on UMAP-20)
+    comps = min(20, x.shape[1])
+    if args.embed == "neighbor":
+        emb20 = E.neighbor_embedding(x, n_components=comps,
+                                     seed=config["seed"])
+    elif x.shape[1] > 20:
+        emb20 = np.asarray(P.transform(P.fit(x, 20), x))
+    else:
+        emb20 = x
+    print(f"Trustworthiness of the {args.embed} embedding: "
+          f"{C.trustworthiness(x, emb20):.4f}")
 
-    km_state, clusters = KM.fit_best_of(
-        jax.random.PRNGKey(config["seed"]), emb20, k=args.k)
-    clusters = np.asarray(clusters)
-    print(f"Number of clusters found: {len(np.unique(clusters))}")
+    if args.clusterer == "density":
+        clusters = E.density_cluster(emb20,
+                                     min_cluster_size=args.min_cluster_size,
+                                     min_samples=args.min_samples)
+        n_noise = int((clusters == -1).sum())
+        print(f"Number of clusters found: "
+              f"{len(np.unique(clusters[clusters >= 0]))} "
+              f"(+ {n_noise} noise patches dropped, HDBSCAN -1 semantics)")
+    else:
+        km_state, clusters = KM.fit_best_of(
+            jax.random.PRNGKey(config["seed"]), emb20, k=args.k)
+        clusters = np.asarray(clusters)
+        print(f"Number of clusters found: {len(np.unique(clusters))}")
+
+    if args.viz_out:
+        from ..utils.viz import embedding_scatter
+        for metric in ("euclidean", "cosine"):  # cluster_latents.py:175-217
+            e2 = E.neighbor_embedding(x, n_components=2, metric=metric,
+                                      seed=config["seed"])
+            t = C.trustworthiness(x, e2)
+            path = f"{args.viz_out}_{metric}.png"
+            embedding_scatter(e2, y, path,
+                              title=f"{metric} neighbor embedding "
+                                    f"(trustworthiness {t:.3f})")
+            print(f"Wrote {path}")
 
     patient_targets = (df.assign(pid=df["image_path"].map(patient_id_from_path))
                        .groupby("pid")["target"].agg(lambda s: s.mode()[0]).values)

@@ -1,0 +1,329 @@
+"""Vmapped HPO trial populations — the TPU-native form of the reference's
+fractional-GPU trial packing (``tune_mil.py:213-227``,
+``utils_g_mil.py:79-91``).
+
+The reference packs 4 torch processes onto one GPU via
+``PER_PROC_GPU_MEM_FRACTION``; the TPU equivalent is to make a *population*
+of same-shape trials ONE program: shape-affecting keys (hidden_dim, att_dim,
+optimizer) are sampled once per cohort, the continuous keys (lr,
+weight_decay, dropout) per trial, and the whole cohort trains in lockstep
+under ``jax.vmap`` — one compile and one scan instead of P of each
+(SURVEY.md §7's vmapped-trial-population design).
+
+Dropout becomes a *traced* per-trial rate (``jax.random.bernoulli`` accepts a
+traced p), so trials with different dropout share the program.  Every trial
+keeps the sequential semantics of ``train/mil.py::_train_core``: same seed →
+same init, same stratified 80/20 split, same per-epoch resampling order, the
+CE(log(p+1e-9)) loss, per-trial patience and dual best-checkpoint tracking.
+A population member with the same config reproduces the sequential
+``train_mil`` result (tested).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import metrics as M
+from ..core.splits import StratifiedShuffleSplit, weighted_sample_indices
+from ..models.mil import AttentionMIL, mil_loss
+from .space import sample_config
+
+SHAPE_KEYS = ("hidden_dim", "att_dim", "optimizer")
+POP_KEYS = ("lr", "weight_decay", "dropout")
+
+
+def _mil_forward(params, x, valid, key, dropout_rate, train: bool):
+    """AttentionMIL forward with a TRACED dropout rate (same math as
+    ``models.mil.AttentionMIL``, which holds the rate static)."""
+    h = x @ params["feat_fc"]["kernel"] + params["feat_fc"]["bias"]
+    h = jax.nn.relu(h)
+    if train:
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(key, keep, h.shape)
+        # flax.linen.Dropout semantics: scale kept units by 1/keep
+        h = jnp.where(mask, h / keep, 0.0)
+    t = jnp.tanh(h @ params["att_fc1"]["kernel"] + params["att_fc1"]["bias"])
+    scores = t @ params["att_fc2"]["kernel"] + params["att_fc2"]["bias"]
+    scores = jnp.where(valid[:, None], scores, -1e30)
+    a = jax.nn.softmax(scores, axis=0)
+    z = jnp.sum(a * h, axis=0)
+    logits = z @ params["classifier"]["kernel"] + params["classifier"]["bias"]
+    return jax.nn.softmax(logits, axis=0), a
+
+
+def _adam_update(g, p, m, v, t, lr, wd, b1=0.9, b2=0.999, eps=1e-8,
+                 decoupled=False):
+    """torch Adam/AdamW update (same rules as ``core.optim``), with lr/wd as
+    traced scalars so they vmap across the population."""
+    if decoupled:
+        decay = -lr * wd * p
+    else:
+        g = g + wd * p
+        decay = jnp.zeros_like(p)
+    m = b1 * m + (1.0 - b1) * g
+    v = b2 * v + (1.0 - b2) * jnp.square(g)
+    m_hat = m / (1.0 - b1 ** t)
+    v_hat = v / (1.0 - b2 ** t)
+    return p + decay - lr * m_hat / (jnp.sqrt(v_hat) + eps), m, v
+
+
+def train_mil_population(
+    shape_config: Dict,
+    pop: Dict[str, np.ndarray],
+    data: Dict,
+    seed: int = 42,
+    num_classes: int = 7,
+    patience: int = 8,
+    max_epochs: int = 50,
+    report_fn=None,
+) -> List[Dict]:
+    """Train P AttentionMIL trials in lockstep.  ``pop`` holds per-trial
+    'lr'/'weight_decay'/'dropout' arrays [P]; ``shape_config`` the shared
+    hidden_dim/att_dim/optimizer.  ``report_fn(trial_idx, metrics_dict)`` is
+    called per trial per epoch.  → list of P final-report dicts (the
+    ``_train_core`` contract minus the private params entries, plus them)."""
+    from ..train.mil import pad_bags
+
+    P = len(np.asarray(pop["lr"]))
+    lrs = jnp.asarray(pop["lr"], jnp.float32)
+    wds = jnp.asarray(pop["weight_decay"], jnp.float32)
+    drops = jnp.asarray(pop["dropout"], jnp.float32)
+    decoupled = shape_config.get("optimizer", "adam") == "adamw"
+
+    rng = np.random.RandomState(seed)
+    train_feats = [np.asarray(a, np.float32) for a in data["train_feats"]]
+    train_labels = np.asarray([int(l) for l in data["train_labels"]])
+    test_feats = [np.asarray(a, np.float32) for a in data.get("test_feats", [])]
+    test_labels = np.asarray([int(l) for l in data.get("test_labels", [])])
+
+    sss = StratifiedShuffleSplit(n_splits=1, test_size=0.2, random_state=seed)
+    tr_idx, va_idx = next(sss.split(np.zeros((len(train_labels), 1)), train_labels))
+    max_n = max(b.shape[0] for b in train_feats + (test_feats or []))
+    feats_all, valid_all = pad_bags(train_feats, max_n)
+    tr_feats, tr_valid = feats_all[tr_idx], valid_all[tr_idx]
+    tr_labels = train_labels[tr_idx]
+    va_feats = jnp.asarray(feats_all[va_idx])
+    va_valid = jnp.asarray(valid_all[va_idx])
+    va_labels = train_labels[va_idx]
+
+    input_dim = train_feats[0].shape[1]
+    model = AttentionMIL(input_dim=input_dim,
+                         hidden_dim=int(shape_config["hidden_dim"]),
+                         att_dim=int(shape_config["att_dim"]),
+                         dropout=0.0, num_classes=num_classes)
+    # one init shared by the cohort — run_search hands every sequential trial
+    # the same seed, so this matches the sequential protocol exactly
+    params1 = model.init(
+        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(0)},
+        jnp.asarray(tr_feats[0]), valid=jnp.asarray(tr_valid[0]))["params"]
+    broadcast = lambda a: jnp.broadcast_to(a[None], (P,) + a.shape)
+    params = jax.tree_util.tree_map(broadcast, params1)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    m_state, v_state = zeros, zeros
+
+    @jax.jit
+    def train_epoch(params, m_state, v_state, step0, feats, valid, labels,
+                    epoch_key):
+        n = feats.shape[0]
+        keys = jax.random.split(epoch_key, n)
+
+        def bag_step(carry, inp):
+            params, m_state, v_state, step = carry
+            x, vmask, y, key = inp
+            step = step + 1
+            trial_keys = jax.random.split(key, P)
+
+            def one(p, mm, vv, lr, wd, drop, tkey):
+                def loss_fn(pp):
+                    probs, _ = _mil_forward(pp, x, vmask, tkey, drop, True)
+                    return mil_loss(probs, y)
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                new = jax.tree_util.tree_map(
+                    lambda gg, pp, m_, v_: _adam_update(
+                        gg, pp, m_, v_, step.astype(jnp.float32), lr, wd,
+                        decoupled=decoupled),
+                    g, p, mm, vv)
+                pick = lambda i: jax.tree_util.tree_map(
+                    lambda t: t[i], new, is_leaf=lambda t: isinstance(t, tuple))
+                return pick(0), pick(1), pick(2), loss
+
+            params, m_state, v_state, losses = jax.vmap(one)(
+                params, m_state, v_state, lrs, wds, drops, trial_keys)
+            return (params, m_state, v_state, step), losses
+
+        (params, m_state, v_state, step), losses = jax.lax.scan(
+            bag_step, (params, m_state, v_state, step0),
+            (feats, valid, jnp.asarray(labels), keys))
+        return params, m_state, v_state, step, losses.mean(axis=0)
+
+    @jax.jit
+    def eval_pop(params, feats, valid):
+        def one_trial(p):
+            def one_bag(x, v):
+                probs, _ = _mil_forward(p, x, v, jax.random.PRNGKey(0),
+                                        jnp.float32(0.0), False)
+                return probs
+            return jax.vmap(one_bag)(feats, valid)
+        return jax.vmap(one_trial)(params)  # [P, B, C]
+
+    @jax.jit
+    def select(improved, new, old):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                improved.reshape((-1,) + (1,) * (a.ndim - 1)), a, b), new, old)
+
+    def eval_metrics(params, feats, valid, labels):
+        probs = eval_pop(params, feats, valid)
+        y = jnp.asarray(labels)
+        out = []
+        for t in range(P):
+            losses = jax.vmap(mil_loss)(probs[t], y)
+            mt = M.evaluate_probs(y, probs[t], num_classes, loss=losses.mean())
+            out.append({k: float(v) for k, v in mt.items()})
+        return out
+
+    best_bacc = np.full(P, -np.inf)
+    best_loss = np.full(P, np.inf)
+    best_bacc_params = params
+    best_loss_params = params
+    best_bacc_metrics: List[Optional[Dict]] = [None] * P
+    best_loss_metrics: List[Optional[Dict]] = [None] * P
+    no_improve = np.zeros(P, int)
+    stopped = np.zeros(P, bool)
+    step0 = jnp.zeros((), jnp.int32)
+    tr_feats_d = jnp.asarray(tr_feats)
+    tr_valid_d = jnp.asarray(tr_valid)
+
+    for epoch in range(1, max_epochs + 1):
+        order = weighted_sample_indices(tr_labels, None, rng)
+        params, m_state, v_state, step0, _ = train_epoch(
+            params, m_state, v_state, step0, tr_feats_d[order],
+            tr_valid_d[order], tr_labels[order],
+            jax.random.fold_in(jax.random.PRNGKey(seed), epoch))
+
+        vm = eval_metrics(params, va_feats, va_valid, va_labels)
+        bacc = np.array([m["bacc"] for m in vm])
+        loss = np.array([m["loss"] for m in vm])
+        improved_b = bacc > best_bacc + 1e-6
+        improved_l = loss < best_loss - 1e-6
+        best_bacc_params = select(jnp.asarray(improved_b & ~stopped), params,
+                                  best_bacc_params)
+        best_loss_params = select(jnp.asarray(improved_l & ~stopped), params,
+                                  best_loss_params)
+        for t in range(P):
+            if stopped[t]:
+                continue
+            if improved_b[t]:
+                best_bacc[t] = bacc[t]
+                best_bacc_metrics[t] = vm[t]
+                no_improve[t] = 0
+            else:
+                no_improve[t] += 1
+            if improved_l[t]:
+                best_loss[t] = loss[t]
+                best_loss_metrics[t] = vm[t]
+            if report_fn is not None:
+                report_fn(t, {f"val_{k}": vm[t][k] for k in
+                              ("bacc", "acc", "auc", "loss", "macro_p",
+                               "macro_r", "macro_f1", "weighted_p",
+                               "weighted_r", "weighted_f1")})
+            if no_improve[t] >= patience:
+                stopped[t] = True
+        if stopped.all():
+            break
+
+    for t in range(P):
+        if best_bacc_metrics[t] is None:
+            best_bacc_metrics[t] = eval_metrics(params, va_feats, va_valid,
+                                                va_labels)[t]
+        if best_loss_metrics[t] is None:
+            best_loss_metrics[t] = best_bacc_metrics[t]
+
+    test_bacc_metrics = test_loss_metrics = [None] * P
+    if len(test_feats) and len(test_labels):
+        te_feats, te_valid = pad_bags(test_feats, max_n)
+        te_feats, te_valid = jnp.asarray(te_feats), jnp.asarray(te_valid)
+        test_bacc_metrics = eval_metrics(best_bacc_params, te_feats, te_valid,
+                                         test_labels)
+        test_loss_metrics = eval_metrics(best_loss_params, te_feats, te_valid,
+                                         test_labels)
+
+    reports = []
+    for t in range(P):
+        vm = best_bacc_metrics[t]
+        rep = {"val_bacc": float(max(best_bacc[t], vm["bacc"])),
+               "val_acc": vm["acc"], "val_auc": vm["auc"], "val_loss": vm["loss"],
+               "val_macro_f1": vm["macro_f1"],
+               "val_weighted_f1": vm["weighted_f1"]}
+        if test_bacc_metrics[t] is not None:
+            tb = test_bacc_metrics[t]
+            rep.update({"test_bacc": tb["bacc"], "test_acc": tb["acc"],
+                        "test_auc": tb["auc"], "test_loss": tb["loss"],
+                        "test_macro_f1": tb["macro_f1"],
+                        "test_weighted_f1": tb["weighted_f1"]})
+            rep["_test_best_bacc"] = tb
+            rep["_test_best_loss"] = test_loss_metrics[t]
+        if report_fn is not None:
+            report_fn(t, {k: v for k, v in rep.items()
+                          if not k.startswith("_")})
+        reports.append(rep)
+    return reports
+
+
+def run_population_search(
+    space: Dict,
+    data: Dict,
+    num_samples: int = 16,
+    cohort_size: int = 8,
+    metric: str = "val_bacc",
+    mode: str = "max",
+    seed: int = 42,
+    max_epochs: int = 50,
+    patience: int = 8,
+    num_classes: int = 7,
+    verbose: bool = True,
+) -> Dict:
+    """Cohorted search: shape keys are sampled once per cohort (so each
+    cohort is a single vmapped program), continuous keys per trial.  Search
+    breadth over the continuous keys matches the sequential runner; breadth
+    over shape keys is num_samples/cohort_size — the price of packing, the
+    same trade the reference makes by capping concurrent trials per GPU.
+    → {best_config, results (list of rows), wall_s}."""
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    t_start = time.time()
+    n_cohorts = (num_samples + cohort_size - 1) // cohort_size
+    for c in range(n_cohorts):
+        P = min(cohort_size, num_samples - c * cohort_size)
+        full = [sample_config(space, rng) for _ in range(P)]
+        shape_config = {k: full[0][k] for k in SHAPE_KEYS if k in full[0]}
+        pop = {k: np.array([cfg[k] for cfg in full]) for k in POP_KEYS}
+        reports = train_mil_population(
+            shape_config, pop, data, seed=seed, num_classes=num_classes,
+            patience=patience, max_epochs=max_epochs)
+        for t, rep in enumerate(reports):
+            cfg = {**shape_config, **{k: float(pop[k][t]) for k in POP_KEYS}}
+            row = {"trial_id": f"cohort{c:03d}_t{t:02d}",
+                   **{f"config/{k}": v for k, v in cfg.items()},
+                   **{k: v for k, v in rep.items() if not k.startswith("_")}}
+            rows.append(row)
+        if verbose:
+            vals = [r[metric] for r in reports]
+            print(f"cohort {c}: {P} trials, best {metric}="
+                  f"{(max if mode == 'max' else min)(vals):.4f}", flush=True)
+
+    frame = pd.DataFrame(rows)
+    vals = frame[metric].astype(float)
+    best_idx = int(vals.idxmax() if mode == "max" else vals.idxmin())
+    best_row = rows[best_idx]
+    best_config = {k.split("/", 1)[1]: v for k, v in best_row.items()
+                   if k.startswith("config/")}
+    return {"best_config": best_config, "results": frame,
+            "wall_s": time.time() - t_start}

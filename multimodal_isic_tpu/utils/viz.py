@@ -63,6 +63,32 @@ def latent_scatter(latent_feats: np.ndarray, targets: np.ndarray,
     return out_path
 
 
+def embedding_scatter(emb2d: np.ndarray, targets: np.ndarray, out_path: str,
+                      title: str = "") -> str:
+    """Precomputed 2-D embedding + labels → scatter PNG (the reference's
+    filtered UMAP plots, ``cluster_latents.py:175-217``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    emb = np.asarray(emb2d)
+    targets = np.asarray(targets)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    cmap = plt.get_cmap("tab10")
+    for i, lbl in enumerate(np.unique(targets)):
+        sel = targets == lbl
+        ax.scatter(emb[sel, 0], emb[sel, 1], s=5, color=cmap(i % 10),
+                   label=str(int(lbl)), alpha=0.8)
+    ax.set_title(title or "neighbor embedding")
+    ax.axis("off")
+    ax.legend(title="class", markerscale=3, fontsize="small",
+              bbox_to_anchor=(1.05, 1), loc="upper left")
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def _denorm(img: np.ndarray) -> np.ndarray:
     return img * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)
 

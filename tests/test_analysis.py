@@ -173,3 +173,75 @@ def test_apply_pca_and_frames(rng):
                                     "latent_pooled_max", "latent_pooled_mean",
                                     "ids_restore"]
     assert raw["lesion_mask_patches"].iloc[0].shape == (4, 4)
+
+
+# --------------------------------------- neighbor embedding + density cluster
+
+def test_density_cluster_finds_blobs_and_noise(rng):
+    """HDBSCAN-equivalent semantics: dense blobs get cluster ids, sparse
+    scatter and undersized clusters get the -1 noise label."""
+    from multimodal_isic_tpu.analysis.embed import density_cluster
+
+    blob_a = rng.randn(80, 5) * 0.3
+    blob_b = rng.randn(80, 5) * 0.3 + 8.0
+    tiny = rng.randn(6, 5) * 0.1 - 8.0          # below min_cluster_size
+    sparse = rng.uniform(-30, 30, (24, 5))      # diffuse background
+    x = np.concatenate([blob_a, blob_b, tiny, sparse]).astype(np.float32)
+
+    labels = density_cluster(x, min_cluster_size=40, min_samples=5)
+    a_lab = labels[:80]
+    b_lab = labels[80:160]
+    # each blob lands (almost) entirely in one cluster
+    assert (a_lab == np.bincount(a_lab[a_lab >= 0]).argmax()).mean() > 0.9
+    assert (b_lab == np.bincount(b_lab[b_lab >= 0]).argmax()).mean() > 0.9
+    assert a_lab.max() != b_lab.max()           # distinct clusters
+    assert (labels[160:166] == -1).all()        # tiny cluster -> noise
+    assert (labels[166:] == -1).mean() > 0.7    # diffuse points mostly noise
+
+
+def test_density_cluster_feeds_purity_pipeline(rng):
+    """The -1 noise label flows through cluster_purity_stats exactly like
+    the reference drops HDBSCAN's -1 cluster (cluster_latents.py:38-44)."""
+    from multimodal_isic_tpu.analysis.embed import density_cluster
+
+    x = np.concatenate([rng.randn(60, 4) * 0.2,
+                        rng.randn(60, 4) * 0.2 + 6.0]).astype(np.float32)
+    y = np.array([0] * 60 + [1] * 60)
+    labels = density_cluster(x, min_cluster_size=30, min_samples=5)
+    stats = C.cluster_purity_stats(labels, y, num_classes=2)
+    valid = labels >= 0
+    assert valid.sum() > 100
+    assert (stats["cluster_prop_same"][valid] > 0.9).all()
+
+
+def test_neighbor_embedding_beats_pca_trustworthiness(rng):
+    """VERDICT round-2 item 9 'done' bar: trustworthiness of the neighbor
+    embedding beats the PCA projection on synthetic latents whose cluster
+    structure spans more dimensions than a 2-D linear map can keep."""
+    from multimodal_isic_tpu.analysis.embed import neighbor_embedding
+
+    # 8 tight clusters at scaled one-hot corners of R^8: every 2-D linear
+    # projection collapses several corners together
+    centers = np.eye(8) * 10.0
+    x = np.concatenate([c + rng.randn(25, 8) * 0.3 for c in centers])
+    x = x.astype(np.float32)
+
+    emb = neighbor_embedding(x, n_components=2, n_neighbors=10,
+                             n_epochs=500, seed=0)
+    state = P.fit(x, 2)
+    pca2 = np.asarray(P.transform(state, x))
+    t_emb = C.trustworthiness(x, emb, n_neighbors=5)
+    t_pca = C.trustworthiness(x, pca2, n_neighbors=5)
+    print(f"trustworthiness: neighbor={t_emb:.4f} pca={t_pca:.4f}")
+    assert t_emb > t_pca
+    assert t_emb > 0.9
+
+
+def test_knn_graph_cosine_is_scale_invariant(rng):
+    from multimodal_isic_tpu.analysis.embed import knn_graph
+
+    x = rng.randn(40, 6).astype(np.float32)
+    scales = rng.uniform(0.1, 10.0, (40, 1)).astype(np.float32)
+    nbr1, _ = knn_graph(jnp.asarray(x), k=5, metric="cosine")
+    nbr2, _ = knn_graph(jnp.asarray(x * scales), k=5, metric="cosine")
+    assert (np.asarray(nbr1) == np.asarray(nbr2)).mean() > 0.95

@@ -286,3 +286,34 @@ def test_train_ae_pretrained_ckpt_init(workspace, tmp_path):
     data = np.load(os.path.join(tmp_path / "models" / best[0], "arrays.npz"))
     scale = data[f"arr_{paths.index('encoder_norm/scale')}"]
     np.testing.assert_allclose(scale, 7.0, atol=1e-3)
+
+
+def test_cluster_latents_cli_density(workspace, rng):
+    """Density-clustering + neighbor-embedding backbone (the reference's
+    UMAP+HDBSCAN-equivalent path) through the CLI, incl. the cosine-metric
+    2-D viz variant (cluster_latents.py:175-217)."""
+    from multimodal_isic_tpu.cli import cluster_latents
+    root, cfg, dirs = workspace
+    rows = []
+    for img in range(24):
+        label = img % 2
+        for pid in range(5):
+            lat = rng.randn(6).astype(np.float32) * 0.4 + label * 5.0
+            rows.append({"image_path": f"SYN_{img:07d}_x.jpg",
+                         "segmentation_path": "s", "target": label,
+                         "patch_id": pid, "patch_in_mask": 1,
+                         "patch_latent": lat, "patch_latent_pca": lat})
+    path = str(root / "patches_density.pkl")
+    pd.DataFrame(rows).to_pickle(path)
+    out = str(root / "df_filtered_density.pkl")
+    viz = str(root / "emb")
+    cluster_latents.main(["--config_path", cfg, "--patch_df", path,
+                          "--clusterer", "density", "--embed", "neighbor",
+                          "--min_cluster_size", "20", "--min_samples", "5",
+                          "--out", out, "--viz_out", viz])
+    filtered = pd.read_pickle(out)
+    assert "cluster_prop_same_weighted" in filtered.columns
+    assert len(filtered) > 0
+    assert (filtered["cluster"] >= 0).all()  # noise (-1) dropped by filter
+    assert os.path.exists(viz + "_euclidean.png")
+    assert os.path.exists(viz + "_cosine.png")
