@@ -24,7 +24,6 @@ from ..core import checkpoint as ckpt
 from ..core.rng import RngPool
 from ..core.splits import StratifiedKFold, weighted_sample_indices
 from ..data import DermRecords, DeviceLoader, augment
-from ..models.convmae import convmae_convvit_base_patch16_dec512d8b
 from ..train.mae import init_mae, make_encoder_step, train_mae
 from ..utils.logging import RunLogger
 from .common import parse_config
@@ -69,14 +68,17 @@ def main(argv=None) -> None:
         return DeviceLoader(val_records, 64,
                             transform=augment.POLICIES["mae_eval"])
 
+    use_flash = bool(params_cfg.get("use_flash_attention", False))
     if params_cfg.get("model_size", "base") == "tiny":
         from ..models.convmae import ConvMAE
         model = ConvMAE(embed_dims=(32, 48, 64), depths=(1, 1, 2), num_heads=4,
                         decoder_dim=32, decoder_depth=1, decoder_heads=4,
-                        norm_pix_loss=params_cfg["norm_pix_loss"])
+                        norm_pix_loss=params_cfg["norm_pix_loss"],
+                        use_flash_attention=use_flash)
     else:
-        model = convmae_convvit_base_patch16_dec512d8b(
-            norm_pix_loss=params_cfg["norm_pix_loss"])
+        from ..models.convmae import ConvMAE
+        model = ConvMAE(norm_pix_loss=params_cfg["norm_pix_loss"],
+                        use_flash_attention=use_flash)
     params = init_mae(model, pool["init"].next())
 
     # pretrained initialization with strict=False semantics (the reference

@@ -87,6 +87,8 @@ class TrainParameters(_DictAccess):
     model_size: str = "base"  # 'base' (ConvViT-B) | 'tiny' (tests/demos)
     pretrained_ckpt: str = ""  # torch .pth (upstream ConvMAE naming) or this
     # framework's checkpoint dir; loaded strict=False (train_ae.py:136-141)
+    use_flash_attention: bool = False  # Pallas blockwise attention in the
+    # ConvMAE ViT/decoder blocks (ops/attention.py)
 
 
 @dataclass(frozen=True)

@@ -68,10 +68,13 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, hd]
         if self.use_flash:
             from ..ops.attention import flash_attention
-            out = flash_attention(q.transpose(0, 2, 1, 3),
-                                  k.transpose(0, 2, 1, 3),
-                                  v.transpose(0, 2, 1, 3))
-            out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+            # interpret mode off-TPU so the CPU mesh runs the same model
+            # (Pallas TPU kernels don't lower on the host backend)
+            out = flash_attention(q.transpose(0, 2, 1, 3).astype(jnp.float32),
+                                  k.transpose(0, 2, 1, 3).astype(jnp.float32),
+                                  v.transpose(0, 2, 1, 3).astype(jnp.float32),
+                                  interpret=jax.default_backend() != "tpu")
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, d).astype(q.dtype)
         else:
             q = q * (1.0 / math.sqrt(head_dim))
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
@@ -201,7 +204,9 @@ class ConvMAE(nn.Module):
             self.decoder_embed = nn.Dense(self.decoder_dim, dtype=dt)
             self.mask_token = self.param(
                 "mask_token", nn.initializers.normal(0.02), (1, 1, self.decoder_dim))
-            self.dec_blocks = [Block(self.decoder_dim, self.decoder_heads, dtype=dt)
+            self.dec_blocks = [Block(self.decoder_dim, self.decoder_heads,
+                                     use_flash=self.use_flash_attention,
+                                     dtype=dt)
                                for _ in range(self.decoder_depth)]
             self.decoder_norm = nn.LayerNorm(dtype=dt)
             self.decoder_pred = nn.Dense(16 * 16 * 3, dtype=dt)
