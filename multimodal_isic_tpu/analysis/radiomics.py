@@ -63,6 +63,8 @@ class RadiomicsExtractor:
         self.label = label
         self.glrlm_max_len = glrlm_max_len
         self.batch = batch
+        self.image_size = image_size  # fixed (H, W) for the batched path;
+        # None = discovered from the first record (HAM10000 is uniform)
         if use_pallas_kernels is None:  # kernels compile on TPU only
             use_pallas_kernels = jax.default_backend() == "tpu"
         self.use_pallas_kernels = use_pallas_kernels
@@ -80,6 +82,10 @@ class RadiomicsExtractor:
 
         self._bundle_vec = jax.jit(jax.vmap(bundle))
         self._shape = jax.jit(X.shape2d_features)
+        # [B, H, W] masks -> [n_shape, B] (batched shape2D for the
+        # cross-image path)
+        self._shape_vec = jax.jit(lambda m: jnp.stack(
+            jax.tree_util.tree_leaves(jax.vmap(X.shape2d_features)(m))))
         # canonical feature-name order = jax's sorted-dict tree flattening
         sample = jax.eval_shape(
             lambda: _texture_bundle(jnp.zeros((8, 8)), jnp.zeros((8, 8), jnp.uint8),
@@ -150,13 +156,92 @@ class RadiomicsExtractor:
         rgb = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
         return self.extract_channels(rgb, sg)
 
+    def extract_channels_batch(self, rgb_batch: np.ndarray,
+                               masks: np.ndarray) -> List[Dict[str, Dict[str, float]]]:
+        """Cross-image batched extraction: [B, H, W, 3] uint8 RGB +
+        [B, H, W] masks → B per-channel feature dicts.  One device program
+        per filter type covers all B·4 image×channel maps (the reference's
+        ``multiprocessing.Pool`` over images, ``RadiomicExtractor.py:58-71``,
+        becomes a batch axis)."""
+        rgb = np.asarray(rgb_batch)
+        b, h, w, _ = rgb.shape
+        gray = np.round(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                        + 0.114 * rgb[..., 2]).astype(np.float32)
+        chans = np.stack([gray, rgb[..., 0].astype(np.float32),
+                          rgb[..., 1].astype(np.float32),
+                          rgb[..., 2].astype(np.float32)], axis=1)  # [B,4,H,W]
+        mbin = (np.asarray(masks) == self.label).astype(np.uint8) * 255
+        m = jnp.asarray(np.broadcast_to(mbin[:, None], (b, 4, h, w))
+                        .reshape(b * 4, h, w))
+        bank = self._bank(jnp.asarray(chans.reshape(b * 4, h, w)))
+        img_types = sorted(bank)
+        vecs = [self._bundle_vec(bank[t], m) for t in img_types]
+        nf = len(self._bundle_names)
+        stacked = np.asarray(jnp.stack(vecs)).reshape(len(img_types), b, 4, nf)
+        shape_vals = np.asarray(self._shape_vec(jnp.asarray(mbin)))  # [ns, B]
+
+        out = []
+        for bi in range(b):
+            per_image = {}
+            for ci, ch in enumerate(CHANNELS):
+                d = {}
+                for t_idx, img_type in enumerate(img_types):
+                    for f_idx, feat_name in enumerate(self._bundle_names):
+                        d[f"{img_type}_{feat_name}"] = float(
+                            stacked[t_idx, bi, ci, f_idx])
+                for s_idx, name in enumerate(self._shape_names):
+                    d[f"original_shape2D_{name}"] = float(shape_vals[s_idx, bi])
+                per_image[ch] = d
+            out.append(per_image)
+        return out
+
+    def _batched_extraction(self, records: Sequence[Dict]) -> List[Dict]:
+        """Fixed-size chunks through the native full-frame decoder, with the
+        NEXT chunk decoding on a host thread while the device crunches the
+        current one (the Pool's decode/compute overlap, TPU-style)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..data import native_io
+
+        hw = self.image_size
+        if hw is None:
+            import cv2
+            first = cv2.imread(records[0]["image_path"], cv2.IMREAD_COLOR)
+            hw = first.shape[:2]
+        bsz = int(self.batch)
+        chunks = [list(records[i:i + bsz]) for i in range(0, len(records), bsz)]
+
+        def decode(chunk):
+            padded = chunk + [chunk[-1]] * (bsz - len(chunk))  # static shapes
+            return native_io.decode_full_batch(
+                [r["image_path"] for r in padded],
+                [r.get("segmentation_path") for r in padded], hw)
+
+        results: List[Dict] = []
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(decode, chunks[0])
+            for ci, chunk in enumerate(chunks):
+                imgs, msks = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = ex.submit(decode, chunks[ci + 1])
+                results.extend(self.extract_channels_batch(imgs, msks)[:len(chunk)])
+        return results
+
     # -- batch APIs (reference: parallel/serial extraction over dict lists)
     def parallell_extraction(self, list_of_dicts: Sequence[Dict],
                              n_processes=None) -> List[Dict]:
         """Name kept (sic) for API parity; device batching replaces the
-        process pool."""
+        process pool.  With the native decoder available and ``batch`` > 1,
+        images are extracted ``batch`` at a time in one device program with
+        decode/compute overlap; otherwise the per-image path runs."""
+        from ..data import native_io
+
         start = time.time()
-        results = [self.extract_radiomics(d) for d in list_of_dicts]
+        if (self.batch and self.batch > 1 and len(list_of_dicts) > 1
+                and native_io.available()):
+            results = self._batched_extraction(list_of_dicts)
+        else:
+            results = [self.extract_radiomics(d) for d in list_of_dicts]
         h, m, s = self._convert_time(start, time.time())
         print(f" Time taken: {h}h:{m}m:{s}s")
         return results

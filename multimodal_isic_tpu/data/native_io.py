@@ -46,6 +46,11 @@ def _load(build_if_missing: bool = True):
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int]
+    # full-frame (no centroid crop) variants for the radiomics path
+    lib.isic_decode_full.restype = ctypes.c_int
+    lib.isic_decode_full.argtypes = lib.isic_decode_crop.argtypes
+    lib.isic_decode_full_batch.restype = ctypes.c_int
+    lib.isic_decode_full_batch.argtypes = lib.isic_decode_crop_batch.argtypes
     _LIB = lib
     return lib
 
@@ -72,11 +77,7 @@ def decode_crop(image_path: str, mask_path: Optional[str],
     return image, mask
 
 
-def decode_crop_batch(image_paths: Sequence[str],
-                      mask_paths: Optional[Sequence[Optional[str]]],
-                      staging_hw: Tuple[int, int],
-                      n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """Threaded batch decode → (images [N, H, W, 3], masks [N, H, W])."""
+def _batch(fn_name: str, image_paths, mask_paths, staging_hw, n_threads):
     lib = _load()
     if lib is None:
         raise RuntimeError("native IO library not built (make -C native)")
@@ -89,7 +90,7 @@ def decode_crop_batch(image_paths: Sequence[str],
         *[(m or "").encode() for m in (mask_paths or [""] * n)])
     if n_threads <= 0:
         n_threads = os.cpu_count() or 1
-    rc = lib.isic_decode_crop_batch(
+    rc = getattr(lib, fn_name)(
         img_arr, mask_arr, n, h, w,
         images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads)
@@ -97,3 +98,24 @@ def decode_crop_batch(image_paths: Sequence[str],
         raise FileNotFoundError(
             f"native batch decode: {-rc} samples failed (missing/corrupt files)")
     return images, masks
+
+
+def decode_crop_batch(image_paths: Sequence[str],
+                      mask_paths: Optional[Sequence[Optional[str]]],
+                      staging_hw: Tuple[int, int],
+                      n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Threaded batch decode + centroid crop → (images [N, H, W, 3],
+    masks [N, H, W])."""
+    return _batch("isic_decode_crop_batch", image_paths, mask_paths,
+                  staging_hw, n_threads)
+
+
+def decode_full_batch(image_paths: Sequence[str],
+                      mask_paths: Optional[Sequence[Optional[str]]],
+                      staging_hw: Tuple[int, int],
+                      n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Threaded batch decode WITHOUT the centroid crop (full frame resized to
+    staging) — the radiomics extraction path operates on the uncropped image
+    (``RadiomicExtractor.py:29-35``)."""
+    return _batch("isic_decode_full_batch", image_paths, mask_paths,
+                  staging_hw, n_threads)

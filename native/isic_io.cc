@@ -154,12 +154,15 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Returns 0 on success; -1 image decode failed; -2 output args invalid.
-int isic_decode_crop(const char* image_path, const char* mask_path,
-                     int staging_h, int staging_w, uint8_t* out_image,
-                     uint8_t* out_mask) {
+// Shared decode: image + (resized) mask; do_crop applies the reference's
+// mask-centroid min(H,W) square crop, otherwise the full frame is staged
+// (the radiomics path operates on the uncropped image,
+// RadiomicExtractor.py:29-35).
+int decode_common(const char* image_path, const char* mask_path,
+                  int staging_h, int staging_w, uint8_t* out_image,
+                  uint8_t* out_mask, int do_crop) {
   if (!out_image || !out_mask) return -2;
   std::vector<uint8_t> img;
   int h = 0, w = 0;
@@ -180,6 +183,17 @@ int isic_decode_crop(const char* image_path, const char* mask_path,
     mask.swap(resized);
     mh = h;
     mw = w;
+  }
+
+  if (!do_crop) {
+    if (h == staging_h && w == staging_w) {
+      memcpy(out_image, img.data(), img.size());
+      memcpy(out_mask, mask.data(), mask.size());
+    } else {
+      resize_bilinear<3>(img.data(), h, w, out_image, staging_h, staging_w);
+      resize_nearest_gray(mask, h, w, out_mask, staging_h, staging_w);
+    }
+    return 0;
   }
 
   // centroid of mask>0; image center when empty (dataset.py:64-70)
@@ -230,6 +244,7 @@ struct BatchJob {
   uint8_t* out_images;
   uint8_t* out_masks;
   int begin, step;
+  int do_crop;
   int failures;
 };
 
@@ -238,28 +253,27 @@ void* batch_worker(void* arg) {
   size_t img_stride = size_t(job->staging_h) * job->staging_w * 3;
   size_t mask_stride = size_t(job->staging_h) * job->staging_w;
   for (int i = job->begin; i < job->n; i += job->step) {
-    int rc = isic_decode_crop(job->image_paths[i],
-                              job->mask_paths ? job->mask_paths[i] : nullptr,
-                              job->staging_h, job->staging_w,
-                              job->out_images + size_t(i) * img_stride,
-                              job->out_masks + size_t(i) * mask_stride);
+    int rc = decode_common(job->image_paths[i],
+                           job->mask_paths ? job->mask_paths[i] : nullptr,
+                           job->staging_h, job->staging_w,
+                           job->out_images + size_t(i) * img_stride,
+                           job->out_masks + size_t(i) * mask_stride,
+                           job->do_crop);
     if (rc != 0) ++job->failures;
   }
   return nullptr;
 }
 
-// Returns 0 on success or -(number of failed samples).
-int isic_decode_crop_batch(const char** image_paths, const char** mask_paths,
-                           int n, int staging_h, int staging_w,
-                           uint8_t* out_images, uint8_t* out_masks,
-                           int n_threads) {
+int batch_common(const char** image_paths, const char** mask_paths, int n,
+                 int staging_h, int staging_w, uint8_t* out_images,
+                 uint8_t* out_masks, int n_threads, int do_crop) {
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;
   std::vector<BatchJob> jobs(n_threads);
   std::vector<pthread_t> threads(n_threads);
   for (int t = 0; t < n_threads; ++t) {
     jobs[t] = {image_paths, mask_paths, n, staging_h, staging_w,
-               out_images, out_masks, t, n_threads, 0};
+               out_images, out_masks, t, n_threads, do_crop, 0};
     pthread_create(&threads[t], nullptr, batch_worker, &jobs[t]);
   }
   int failures = 0;
@@ -268,6 +282,43 @@ int isic_decode_crop_batch(const char** image_paths, const char** mask_paths,
     failures += jobs[t].failures;
   }
   return failures == 0 ? 0 : -failures;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success; -1 image decode failed; -2 output args invalid.
+int isic_decode_crop(const char* image_path, const char* mask_path,
+                     int staging_h, int staging_w, uint8_t* out_image,
+                     uint8_t* out_mask) {
+  return decode_common(image_path, mask_path, staging_h, staging_w, out_image,
+                       out_mask, /*do_crop=*/1);
+}
+
+// Full-frame variant (no centroid crop) for the radiomics path.
+int isic_decode_full(const char* image_path, const char* mask_path,
+                     int staging_h, int staging_w, uint8_t* out_image,
+                     uint8_t* out_mask) {
+  return decode_common(image_path, mask_path, staging_h, staging_w, out_image,
+                       out_mask, /*do_crop=*/0);
+}
+
+// Returns 0 on success or -(number of failed samples).
+int isic_decode_crop_batch(const char** image_paths, const char** mask_paths,
+                           int n, int staging_h, int staging_w,
+                           uint8_t* out_images, uint8_t* out_masks,
+                           int n_threads) {
+  return batch_common(image_paths, mask_paths, n, staging_h, staging_w,
+                      out_images, out_masks, n_threads, /*do_crop=*/1);
+}
+
+int isic_decode_full_batch(const char** image_paths, const char** mask_paths,
+                           int n, int staging_h, int staging_w,
+                           uint8_t* out_images, uint8_t* out_masks,
+                           int n_threads) {
+  return batch_common(image_paths, mask_paths, n, staging_h, staging_w,
+                      out_images, out_masks, n_threads, /*do_crop=*/0);
 }
 
 }  // extern "C"

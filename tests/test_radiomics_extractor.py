@@ -73,3 +73,53 @@ def test_gray_conversion_is_bt601(extracted):
         round(0.299 * 200), abs=0.5)
     assert res["red"]["original_firstorder_Mean"] == pytest.approx(200.0)
     assert res["blue"]["original_firstorder_Mean"] == pytest.approx(0.0)
+
+
+def test_batched_extraction_matches_per_image(extracted, rng):
+    """Cross-image batching (images x channels in one device program) must
+    reproduce the per-image path feature-for-feature."""
+    res0, rgb, mask, ex = extracted
+    rgb2 = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    mask2 = np.zeros((32, 32), np.uint8)
+    mask2[3:20, 8:30] = 255
+
+    batch = ex.extract_channels_batch(np.stack([rgb, rgb2]),
+                                      np.stack([mask, mask2]))
+    single2 = ex.extract_channels(rgb2, mask2)
+    for ch in CHANNELS:
+        for k, v in res0[ch].items():
+            assert batch[0][ch][k] == pytest.approx(v, rel=1e-5, abs=1e-6), (ch, k)
+        for k, v in single2[ch].items():
+            assert batch[1][ch][k] == pytest.approx(v, rel=1e-5, abs=1e-6), (ch, k)
+
+
+def test_parallell_extraction_batched_with_native_decode(tmp_path, rng):
+    """The Pool-replacement path end to end: native full-frame decode ->
+    fixed-size padded chunks -> batched device extraction; remainder chunk
+    (5 records, batch=4) handled; matches the per-image cv2 path."""
+    import cv2
+    from multimodal_isic_tpu.data import native_io
+    if not native_io.available():
+        pytest.skip("native IO library not available")
+
+    records = []
+    for i in range(5):
+        img = rng.randint(0, 255, (40, 48, 3), np.uint8)
+        msk = np.zeros((40, 48), np.uint8)
+        msk[8:30, 10:40] = 255
+        ip = str(tmp_path / f"img_{i}.jpg")
+        sp = str(tmp_path / f"img_{i}_segmentation.png")
+        cv2.imwrite(ip, cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 100])
+        cv2.imwrite(sp, msk)
+        records.append({"image_path": ip, "segmentation_path": sp})
+
+    ex = RadiomicsExtractor(glrlm_max_len=48, batch=4)
+    batched = ex.parallell_extraction(records)
+    assert len(batched) == 5
+    ex1 = RadiomicsExtractor(glrlm_max_len=48, batch=1)
+    singles = ex1.parallell_extraction(records)
+    for b, s in zip(batched, singles):
+        for ch in CHANNELS:
+            for k, v in s[ch].items():
+                assert b[ch][k] == pytest.approx(v, rel=1e-5, abs=1e-6), (ch, k)
