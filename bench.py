@@ -3,14 +3,22 @@ multimodal forward (the BASELINE.json headline metric).
 
 Measures, on the real chip:
   - value: throughput of [uint8 450×450 crops → on-device resize(380) +
-    ImageNet normalize → full 4-modality fusion forward (EfficientNet-B3)]
-    as one jitted program, steady state.
+    ImageNet normalize → full 4-modality fusion forward (EfficientNet-B3,
+    bf16 backbone)] as one jitted program, steady state, at the best batch
+    size from the round-2 sweep (512).
   - baseline: the reference-equivalent CPU path measured live — host
     preprocessing (cv2 resize + normalize, as albumentations does) + torch
     EfficientNet-B3-based fusion forward on CPU (efficientnet_pytorch is not
     installable here; utils/torch_ref.py is architecture-identical).
+  - stderr extras: bf16 TRAINING throughput (fwd+bwd+SGD+BN) for the fusion
+    flagship and estimated MFU from XLA's cost analysis — the round-2 "bf16
+    train measured" requirement.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Timing method (axon backend): block_until_ready returns at DISPATCH, so a
+chain of iterations is closed by ONE device→host readback; params/state live
+on the device (a CPU-committed pytree silently re-uploads ~50 MB per call).
 """
 
 import json
@@ -24,18 +32,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_tpu(batch_size=64, iters=10):
-    import jax
-    import jax.numpy as jnp
-    from multimodal_isic_tpu.data import augment
-    from multimodal_isic_tpu.models.fusion import MultiModalFusionNet
-    from multimodal_isic_tpu.train.fusion import BATCH_KEYS, init_fusion
-
-    # bf16 backbone compute (production inference precision; fp32 params,
-    # fp32 branch MLPs/heads): 2540 vs 1581 img/s/chip measured
-    model = MultiModalFusionNet(dtype=jnp.bfloat16)
-    rng = np.random.RandomState(0)
-    host = {
+def _host_batch(batch_size, rng, with_target=False):
+    out = {
         "image": rng.randint(0, 255, (batch_size, 450, 450, 3), np.uint8),
         "radiomics": rng.randn(batch_size, 780).astype(np.float32),
         "age": rng.randn(batch_size).astype(np.float32),
@@ -43,11 +41,48 @@ def measure_tpu(batch_size=64, iters=10):
         "loc": rng.randint(0, 15, batch_size).astype(np.int32),
         "artifacts": rng.randint(0, 2, (batch_size, 6)).astype(np.int32),
     }
-    init_batch = dict(host)
+    if with_target:
+        out["target"] = rng.randint(0, 7, batch_size).astype(np.int32)
+    return out
+
+
+def _flops(jitted, *args):
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+PEAK_BF16 = 197e12  # TPU v5e
+
+
+def measure_tpu(batch_size=512, iters=10, train_batch=128, train_iters=10):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from multimodal_isic_tpu.core.train_state import TrainState
+    from multimodal_isic_tpu.data import augment
+    from multimodal_isic_tpu.models.fusion import MultiModalFusionNet
+    from multimodal_isic_tpu.train.fusion import (
+        BATCH_KEYS, fusion_optimizer, init_fusion, make_fusion_train_step)
+
+    dev = jax.devices()[0]
+    put = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), t)
+
+    # bf16 backbone compute (fp32 params, fp32 branch MLPs/heads)
+    model = MultiModalFusionNet(dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    init_batch = _host_batch(2, rng)
     init_batch["image"] = np.zeros((2, 380, 380, 3), np.float32)
-    for k in ("radiomics", "age", "sex", "loc", "artifacts"):
-        init_batch[k] = host[k][:2]
-    params, batch_stats = init_fusion(model, jax.random.PRNGKey(0), init_batch)
+    # init on the host backend (compiling flax init through the TPU
+    # remote-compile path costs minutes), then commit the params to the chip
+    with jax.default_device(jax.devices("cpu")[0]):
+        params, batch_stats = init_fusion(model, jax.random.PRNGKey(0), init_batch)
+    params, batch_stats = put(params), put(batch_stats)
 
     @jax.jit
     def preproc_and_forward(params, batch_stats, batch):
@@ -58,15 +93,12 @@ def measure_tpu(batch_size=64, iters=10):
         inputs["image"] = img
         return model.apply(variables, **inputs, train=False)
 
-    dev_batch = jax.device_put(host)
+    dev_batch = put(_host_batch(batch_size, rng))
+    fwd_flops = _flops(preproc_and_forward, params, batch_stats, dev_batch)
     out = preproc_and_forward(params, batch_stats, dev_batch)
-    _ = float(out.sum())  # force real completion (see note below)
-    log("tpu: compiled")
+    _ = float(out.sum())  # force real completion
+    log("tpu: forward compiled")
 
-    # NOTE: on the tunneled axon backend block_until_ready() returns at
-    # dispatch, so wall-clock timing MUST be closed by a device->host readback.
-    # We enqueue `iters` independent forwards (device executes them serially)
-    # and read back one scalar that depends on all of them.
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
@@ -77,7 +109,32 @@ def measure_tpu(batch_size=64, iters=10):
         _ = float(acc.sum())  # single readback closes the chain
         best = min(best, (time.time() - t0) / iters)
     ips = batch_size / best
-    log(f"tpu: {ips:.1f} img/s/chip ({best * 1000:.1f} ms / {batch_size} imgs)")
+    log(f"tpu: fusion fwd bf16 bs={batch_size}: {ips:.1f} img/s/chip "
+        f"({best * 1000:.1f} ms) MFU~{fwd_flops / best / PEAK_BF16 * 100:.1f}%")
+
+    # ---- bf16 TRAINING step (fwd+bwd+SGD+BatchNorm), the r2 requirement ----
+    opt = fusion_optimizer()
+    step = make_fusion_train_step(model, opt)
+    tb = _host_batch(train_batch, rng, with_target=True)
+    tb["image"] = (tb["image"][:, :380, :380].astype(np.float32) / 255.0)
+    tb = put(tb)
+    state = TrainState.create(params, opt, jax.random.PRNGKey(1))
+    state, batch_stats2, loss, _ = step(state, batch_stats, tb,
+                                        jax.random.PRNGKey(2))
+    _ = float(loss)
+    log("tpu: train step compiled")
+    train_flops = _flops(step, state, batch_stats, tb, jax.random.PRNGKey(2))
+    best_tr = float("inf")
+    for _ in range(2):  # rep 0 may absorb a one-time relayout recompile
+        t0 = time.time()
+        s, bs2 = state, batch_stats2
+        for _ in range(train_iters):
+            s, bs2, loss, _ = step(s, bs2, tb, jax.random.PRNGKey(3))
+        _ = float(loss)
+        best_tr = min(best_tr, (time.time() - t0) / train_iters)
+    log(f"tpu: fusion TRAIN bf16 bs={train_batch}: {train_batch / best_tr:.1f} "
+        f"img/s/chip ({best_tr * 1000:.1f} ms/step) "
+        f"MFU~{train_flops / best_tr / PEAK_BF16 * 100:.1f}%")
     return ips
 
 

@@ -66,10 +66,12 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, hd]
-        if self.use_flash:
+        # flax init may run on a CPU-pinned device even in a TPU process
+        # (cheap init, see __graft_entry__) — params are path-independent, so
+        # init always takes the XLA branch and never lowers Pallas off-TPU
+        if self.use_flash and not self.is_initializing():
             from ..ops.attention import flash_attention
             # interpret mode off-TPU so the CPU mesh runs the same model
-            # (Pallas TPU kernels don't lower on the host backend)
             out = flash_attention(q.transpose(0, 2, 1, 3).astype(jnp.float32),
                                   k.transpose(0, 2, 1, 3).astype(jnp.float32),
                                   v.transpose(0, 2, 1, 3).astype(jnp.float32),

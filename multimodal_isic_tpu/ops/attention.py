@@ -60,13 +60,16 @@ def _flash_kernel(n_valid_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int,
 
 def _flash_forward(q, k, v, block_q: int, block_k: int, interpret: bool):
     b, h, n, d = q.shape
-    sm_scale = 1.0 / math.sqrt(d)
+    sm_scale = 1.0 / math.sqrt(d)  # scale uses the TRUE head dim
     n_pad_q = ((n + block_q - 1) // block_q) * block_q
     n_pad_k = ((n + block_k - 1) // block_k) * block_k
+    # Mosaic requires the lane (last) dim aligned to 128: zero-pad the head
+    # dim — scores and outputs are unchanged (zero lanes contribute nothing)
+    d_pad = ((d + 127) // 128) * 128
 
     def pad(x, to):
-        return jnp.pad(x, ((0, 0), (0, 0), (0, to - n), (0, 0))).reshape(
-            b * h, to, d)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, to - n), (0, d_pad - d))).reshape(
+            b * h, to, d_pad)
 
     qf, kf, vf = pad(q, n_pad_q), pad(k, n_pad_k), pad(v, n_pad_k)
     n_valid = jnp.full((1,), n, jnp.int32)
@@ -77,11 +80,11 @@ def _flash_forward(q, k, v, block_q: int, block_k: int, interpret: bool):
         num_scalar_prefetch=1,
         grid=(b * h, n_pad_q // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda g, i, *_: (g, i, 0)),
-            pl.BlockSpec((1, n_pad_k, d), lambda g, i, *_: (g, 0, 0)),
-            pl.BlockSpec((1, n_pad_k, d), lambda g, i, *_: (g, 0, 0)),
+            pl.BlockSpec((1, block_q, d_pad), lambda g, i, *_: (g, i, 0)),
+            pl.BlockSpec((1, n_pad_k, d_pad), lambda g, i, *_: (g, 0, 0)),
+            pl.BlockSpec((1, n_pad_k, d_pad), lambda g, i, *_: (g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, *_: (g, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda g, i, *_: (g, i, 0)),
     )
 
     def squeezing_kernel(n_ref, q_ref, k_ref, v_ref, o_ref):
@@ -90,10 +93,10 @@ def _flash_forward(q, k, v, block_q: int, block_k: int, interpret: bool):
     out = pl.pallas_call(
         squeezing_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad_q, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad_q, d_pad), jnp.float32),
         interpret=interpret,
     )(n_valid, qf, kf, vf)
-    return out.reshape(b, h, n_pad_q, d)[:, :, :n, :]
+    return out.reshape(b, h, n_pad_q, d_pad)[:, :, :n, :d]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
