@@ -50,6 +50,33 @@ def test_connected_components_match_floodfill(rng):
     assert ours == theirs
 
 
+def test_connected_components_long_serpentine():
+    """A single-gray boustrophedon snake over a 40x41 grid has a flood path
+    of ~800 pixels: plain label propagation needs O(path) sweeps (the old
+    64-iteration cap silently truncated it on real lesion maps), while the
+    min-hooking union converges in O(log n). The snake must come back as
+    exactly ONE zone, and the off-snake filler as its own components."""
+    h, w = 40, 41
+    levels = np.ones((h, w), np.int32) * 2   # filler gray
+    snake = np.zeros((h, w), bool)
+    for r in range(0, h, 2):
+        snake[r, :] = True                   # full horizontal runs
+    for r in range(1, h, 2):                 # alternate connectors
+        snake[r, w - 1 if (r // 2) % 2 == 0 else 0] = True
+    levels[snake] = 7
+    mask = np.ones((h, w), np.uint8)
+
+    label = np.asarray(X.connected_components(
+        jnp.asarray(levels), jnp.asarray(mask) > 0))
+    zones = np_zones(levels, mask)
+    sizes = np.bincount(label[mask > 0].reshape(-1))
+    assert sorted(s for s in sizes if s > 0) == sorted(s for _, s in zones)
+    # the snake itself is one component of exactly its pixel count
+    snake_labels = np.unique(label[snake])
+    assert snake_labels.size == 1
+    assert int(snake.sum()) == int((label == snake_labels[0]).sum())
+
+
 def test_glszm_features_match_oracle(rng):
     img, mask = _case(rng, h=12, w=13, vmax=30)
     lv_np, n_np = np_discretize(img, mask, 10.0)
