@@ -237,61 +237,59 @@ def glcm_features(levels: jnp.ndarray, mask: jnp.ndarray,
 
 # ==================================================================== GLRLM
 
-def _shear_for_angle(levels, inside, dy, dx):
-    """Rearrange the image so runs along angle (dy, dx) become rows.
-
-    Returns (lv [L, K], ok [L, K]) where each row is one line of the image in
-    the run direction, padded with invalid cells.
-    """
-    h, w = levels.shape
-    if (dy, dx) == (0, 1):
-        return levels, inside
-    if (dy, dx) == (1, 0):
-        return levels.T, inside.T
-    # diagonals: shift row r by ±r then read columns as lines
-    pad = jnp.zeros((h, h + w), levels.dtype)
-    okp = jnp.zeros((h, h + w), jnp.bool_)
-    rows = jnp.arange(h)
-    if (dy, dx) == (1, 1):
-        # anti-shift so the ↘ diagonal aligns in a column
-        shifts = (h - 1) - rows
-    else:  # (1, -1): ↙ diagonal
-        shifts = rows
-    lv = jax.vmap(lambda row, s: jax.lax.dynamic_update_slice(
-        jnp.zeros(h + w, levels.dtype), row, (s,)))(levels, shifts)
-    ok = jax.vmap(lambda row, s: jax.lax.dynamic_update_slice(
-        jnp.zeros(h + w, jnp.bool_), row, (s,)))(inside, shifts)
-    return lv.T, ok.T  # lines are now rows of the transposed sheared image
+def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill):
+    """x shifted by (dy, dx) with vacated cells filled — result[p] is the
+    value at p − (dy, dx)."""
+    out = jnp.roll(jnp.roll(x, dy, axis=0), dx, axis=1)
+    if dy > 0:
+        out = out.at[:dy, :].set(fill)
+    elif dy < 0:
+        out = out.at[dy:, :].set(fill)
+    if dx > 0:
+        out = out.at[:, :dx].set(fill)
+    elif dx < 0:
+        out = out.at[:, dx:].set(fill)
+    return out
 
 
 def run_starts_and_lengths(levels, inside, dy, dx):
-    """Per-cell run bookkeeping along one angle, scatter-free.
+    """Per-cell run bookkeeping along one angle — shifts only, no shear.
 
-    Shears the image so runs lie along rows, marks run starts/ends by
-    neighbor comparison, and recovers each start cell's run length as
-    (position of the next run end) − (own position) + 1 via a reverse
-    cumulative minimum — no run-id bincounts.
+    Run starts/ends come from neighbor comparison along (dy, dx); each cell's
+    run length is (line coordinate of the first run end at-or-after it) −
+    (own line coordinate) + 1, where the "first end after" is a reverse
+    cumulative min along the direction computed by doubling shifts
+    (shift-by-2^k + min stays on the same line, since a line IS the maximal
+    set reachable by the offset).  This replaces the earlier shear-based
+    layout: the diagonal shear needed per-row dynamic_update_slice, a
+    near-serial gather/scatter on TPU.
 
-    → (start [L, K] bool, gray [L, K] int32, length [L, K] int32); gray and
+    → (start [H, W] bool, gray [H, W] int32, length [H, W] int32); gray and
     length are meaningful at start cells.
     """
-    lv, ok = _shear_for_angle(levels, inside, dy, dx)
-    L, K = lv.shape
-    prev_lv = jnp.concatenate([jnp.zeros((L, 1), lv.dtype), lv[:, :-1]], axis=1)
-    prev_ok = jnp.concatenate([jnp.zeros((L, 1), jnp.bool_), ok[:, :-1]], axis=1)
-    start = ok & (~prev_ok | (lv != prev_lv))
+    h, w = levels.shape
+    prev_lv = _shift2d(levels, dy, dx, -1)
+    prev_ok = _shift2d(inside, dy, dx, False)
+    start = inside & (~prev_ok | (levels != prev_lv))
+    next_lv = _shift2d(levels, -dy, -dx, -1)
+    next_ok = _shift2d(inside, -dy, -dx, False)
+    is_end = inside & (~next_ok | (levels != next_lv))
 
-    next_lv = jnp.concatenate([lv[:, 1:], jnp.zeros((L, 1), lv.dtype)], axis=1)
-    next_ok = jnp.concatenate([ok[:, 1:], jnp.zeros((L, 1), jnp.bool_)], axis=1)
-    is_end = ok & (~next_ok | (lv != next_lv))
-
-    idx = jnp.broadcast_to(jnp.arange(K)[None, :], (L, K))
-    big = jnp.int32(K + 1)
-    end_idx = jnp.where(is_end, idx, big)
-    # first run-end at or after each position (runs are contiguous)
-    end_pos = jax.lax.cummin(end_idx[:, ::-1], axis=1)[:, ::-1]
-    length = end_pos - idx + 1
-    return start, lv.astype(jnp.int32), length.astype(jnp.int32)
+    # line coordinate increments by exactly 1 per step along (dy, dx)
+    if dy != 0:
+        t = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w))
+        span = h
+    else:
+        t = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
+        span = w
+    big = jnp.int32(h + w)
+    end_t = jnp.where(is_end, t, big)
+    k = 1
+    while k < span:
+        end_t = jnp.minimum(end_t, _shift2d(end_t, -dy * k, -dx * k, big))
+        k <<= 1
+    length = end_t - t + 1
+    return start, levels.astype(jnp.int32), length.astype(jnp.int32)
 
 
 def glrlm_matrix_for_angle(levels, inside, dy, dx, max_len: int):
@@ -409,8 +407,10 @@ def firstorder_features(image: jnp.ndarray, mask: jnp.ndarray,
     rmad = jnp.where(in_robust, jnp.abs(x - mean_rob), 0.0).sum() / n_rob
 
     levels, n_levels, _ = discretize(image, mask, bin_width)
-    hist = jnp.bincount(jnp.where(inside, levels, 0).reshape(-1), length=NG + 1)[1:]
-    p_hist = hist.astype(jnp.float32) / n
+    # one-hot reduction, not a bincount scatter (near-serial on TPU)
+    hist = jax.nn.one_hot(jnp.where(inside, levels, 0).reshape(-1) - 1, NG,
+                          dtype=jnp.float32).sum(axis=0)
+    p_hist = hist / n
     entropy = -(p_hist * jnp.log2(p_hist + EPS)).sum()
     uniformity = (p_hist ** 2).sum()
 

@@ -96,21 +96,6 @@ def connected_components(levels: jnp.ndarray, inside: jnp.ndarray,
     return jnp.where(inside, label, big)
 
 
-def _joint_entropy_from_keys(keys: jnp.ndarray, valid: jnp.ndarray,
-                             total: jnp.ndarray) -> jnp.ndarray:
-    """Entropy over the empirical distribution of (discrete) keys: sort, count
-    equal runs, -Σ p·log2 p — without materializing an unbounded histogram."""
-    big = jnp.iinfo(jnp.int32).max
-    k = jnp.sort(jnp.where(valid, keys, big))
-    n = k.shape[0]
-    start = jnp.concatenate([jnp.array([True]), k[1:] != k[:-1]]) & (k < big)
-    seg = jnp.cumsum(start.astype(jnp.int32)) - 1
-    seg = jnp.where(k < big, seg, n)
-    counts = jnp.bincount(seg, length=n + 1)[:-1].astype(jnp.float32)
-    p = counts / jnp.maximum(total, 1.0)
-    return -jnp.sum(jnp.where(counts > 0, p * jnp.log2(p + EPS), 0.0))
-
-
 # ==================================================================== GLSZM
 
 def glszm_features(levels: jnp.ndarray, mask: jnp.ndarray,
@@ -130,46 +115,73 @@ def glszm_features(levels: jnp.ndarray, mask: jnp.ndarray,
     else:
         label = connected_components(levels, inside)
     big = h * w
+    n = big
+    idx = jnp.arange(n, dtype=jnp.int32)
 
-    sizes_all = jnp.bincount(label.reshape(-1), length=big + 1)[:-1]  # per root
-    is_zone = sizes_all > 0
-    root_gray = jnp.zeros(big + 1, jnp.int32).at[label.reshape(-1)].max(
-        levels.reshape(-1))[:-1]  # gray at any member (all equal)
+    # Scatter-free zone table: TPU scatters (bincount over H·W bins,
+    # .at[].max) run near-serially (~50 ms each per 16 maps at 450×600) while
+    # a 270k sort is ~0.7 ms.  Pack (label, gray) into one key — all pixels
+    # of a zone share both — sort once, and read zones off the sorted array:
+    # a zone = a run of equal keys; its size = run length, its gray = key
+    # residue.  Everything downstream is segmented scans + masked reductions.
+    key = jnp.where(inside, label * (NG + 1) + levels,
+                    jnp.int32(big) * (NG + 1)).reshape(-1)
+    sk = jnp.sort(key)
+    gray_s = (sk % (NG + 1)).astype(jnp.float32)
+    valid = sk < big * (NG + 1)
+    start = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]]) & valid
+    is_end = jnp.concatenate([sk[:-1] != sk[1:], jnp.array([True])]) & valid
+    start_pos = jax.lax.cummax(jnp.where(start, idx, -1))
+    end_pos = jax.lax.cummin(jnp.where(is_end, idx, n)[::-1])[::-1]
+    size_s = (end_pos - start_pos + 1).astype(jnp.float32)  # zone size at
+    # every sorted position of the zone (constant within the run)
 
-    nz = jnp.maximum(is_zone.sum().astype(jnp.float32), 1.0)
-    s = sizes_all.astype(jnp.float32)
-    g = root_gray.astype(jnp.float32)
-    zval = is_zone.astype(jnp.float32)
+    zval = start.astype(jnp.float32)  # one entry per zone (at run starts)
+    nz = jnp.maximum(zval.sum(), 1.0)
+    g = gray_s
+    s = size_s
 
-    sae = jnp.sum(jnp.where(is_zone, 1.0 / jnp.maximum(s, 1.0) ** 2, 0.0)) / nz
+    sae = jnp.sum(zval / jnp.maximum(s, 1.0) ** 2) / nz
     lae = jnp.sum(zval * s ** 2) / nz
-    # per-gray zone counts
-    pg = jnp.bincount(jnp.where(is_zone, root_gray, 0).reshape(-1),
-                      weights=zval, length=NG + 1)[1:]
+    # per-gray zone counts: one-hot reduction (VPU/MXU), not a bincount
+    pg = jnp.sum(jax.nn.one_hot(sk % (NG + 1) - 1, NG, dtype=jnp.float32)
+                 * zval[:, None], axis=0)
     gln = (pg ** 2).sum() / nz
     glnn = (pg ** 2).sum() / nz ** 2
-    # per-size zone counts: Σ_s N(s)² = Σ over zone pairs with equal size
-    size_keys = jnp.where(is_zone, sizes_all, -1)
-    sorted_sizes = jnp.sort(jnp.where(is_zone, sizes_all, big + 2))
-    new_size = jnp.concatenate([jnp.array([True]),
-                                sorted_sizes[1:] != sorted_sizes[:-1]])
-    seg = jnp.cumsum(new_size.astype(jnp.int32)) - 1
-    seg = jnp.where(sorted_sizes <= big, seg, big)
-    per_size = jnp.bincount(seg, length=big + 1)[:-1].astype(jnp.float32)
-    szn = (per_size ** 2).sum() / nz
-    sznn = (per_size ** 2).sum() / nz ** 2
+    # per-size and per-(size, gray) zone counts from ONE more sort: group the
+    # per-zone (size, gray) keys; equal full keys → N(g, s) for ZoneEntropy,
+    # equal size-part prefixes → N(s) for SizeZoneNonUniformity.
+    zkey = jnp.where(start, size_s.astype(jnp.int32) * (NG + 1) + sk % (NG + 1),
+                     jnp.int32((big + 2) * (NG + 1)))
+    zs = jnp.sort(zkey)
+    zvalid = zs < (big + 2) * (NG + 1)
+    gs_start = jnp.concatenate([jnp.array([True]), zs[1:] != zs[:-1]]) & zvalid
+    gs_end = jnp.concatenate([zs[:-1] != zs[1:], jnp.array([True])]) & zvalid
+    gs_s = jax.lax.cummax(jnp.where(gs_start, idx, -1))
+    gs_e = jax.lax.cummin(jnp.where(gs_end, idx, n)[::-1])[::-1]
+    n_gs = (gs_e - gs_s + 1).astype(jnp.float32)     # N(gray, size) per run
+    zsize = zs // (NG + 1)
+    sz_start = jnp.concatenate([jnp.array([True]),
+                                zsize[1:] != zsize[:-1]]) & zvalid
+    sz_end = jnp.concatenate([zsize[:-1] != zsize[1:],
+                              jnp.array([True])]) & zvalid
+    sz_s = jax.lax.cummax(jnp.where(sz_start, idx, -1))
+    sz_e = jax.lax.cummin(jnp.where(sz_end, idx, n)[::-1])[::-1]
+    n_sz = (sz_e - sz_s + 1).astype(jnp.float32)     # N(size) per run
+    szn = jnp.sum(jnp.where(sz_start, n_sz ** 2, 0.0)) / nz
+    sznn = szn / nz
     zp = nz / n_p
     mu_g = jnp.sum(zval * g) / nz
     glv = jnp.sum(zval * (g - mu_g) ** 2) / nz
     mu_s = jnp.sum(zval * s) / nz
     zv = jnp.sum(zval * (s - mu_s) ** 2) / nz
-    zone_keys = root_gray * (big + 1) + sizes_all
-    ze = _joint_entropy_from_keys(zone_keys, is_zone, nz)
-    lglze = jnp.sum(jnp.where(is_zone, 1.0 / jnp.maximum(g, 1.0) ** 2, 0.0)) / nz
+    p_gs = n_gs / nz
+    ze = -jnp.sum(jnp.where(gs_start, p_gs * jnp.log2(p_gs + EPS), 0.0))
+    lglze = jnp.sum(zval / jnp.maximum(g, 1.0) ** 2) / nz
     hglze = jnp.sum(zval * g ** 2) / nz
-    salgle = jnp.sum(jnp.where(is_zone, 1.0 / jnp.maximum(g * s, 1.0) ** 2, 0.0)) / nz
-    sahgle = jnp.sum(jnp.where(is_zone, g ** 2 / jnp.maximum(s, 1.0) ** 2, 0.0)) / nz
-    lalgle = jnp.sum(jnp.where(is_zone, s ** 2 / jnp.maximum(g, 1.0) ** 2, 0.0)) / nz
+    salgle = jnp.sum(zval / jnp.maximum(g * s, 1.0) ** 2) / nz
+    sahgle = jnp.sum(zval * g ** 2 / jnp.maximum(s, 1.0) ** 2) / nz
+    lalgle = jnp.sum(zval * s ** 2 / jnp.maximum(g, 1.0) ** 2) / nz
     lahgle = jnp.sum(zval * s ** 2 * g ** 2) / nz
     return {
         "SmallAreaEmphasis": sae,
@@ -209,9 +221,13 @@ def gldm_features(levels: jnp.ndarray, mask: jnp.ndarray,
     j = jnp.where(inside, dep + 1, 0)  # 1..9
     nd = 9
 
-    key = jnp.where(inside, (levels - 1) * nd + (j - 1), NG * nd)
-    flat = jnp.bincount(key.reshape(-1), length=NG * nd + 1)[:-1]
-    P = flat.reshape(NG, nd).astype(jnp.float32)
+    # [NG, nd] histogram as a one-hot MXU contraction (a bincount over
+    # NG·nd bins is a near-serial TPU scatter, ~45 ms per 16 maps at 450×600;
+    # the contraction is ~5 ms)
+    oh_g = jax.nn.one_hot(levels.reshape(-1) - 1, NG, dtype=jnp.float32)
+    oh_j = jax.nn.one_hot(j.reshape(-1) - 1, nd, dtype=jnp.float32)
+    P = jnp.einsum("pi,pj->ij", oh_g * inside.reshape(-1, 1).astype(jnp.float32),
+                   oh_j)
 
     nz = jnp.maximum(P.sum(), 1.0)
     i_vals = jnp.arange(1, NG + 1, dtype=jnp.float32)
@@ -273,8 +289,10 @@ def ngtdm_features(levels: jnp.ndarray, mask: jnp.ndarray,
     diff = jnp.where(has_nbr, jnp.abs(levels.astype(jnp.float32) - a_bar), 0.0)
 
     lv = jnp.where(has_nbr, levels, 0)
-    n_i = jnp.bincount(lv.reshape(-1), length=NG + 1)[1:].astype(jnp.float32)
-    s_i = jnp.zeros(NG + 1).at[lv.reshape(-1)].add(diff.reshape(-1))[1:]
+    # per-level count and Σ|diff| as one-hot reductions (scatter-free)
+    oh = jax.nn.one_hot(lv.reshape(-1) - 1, NG, dtype=jnp.float32)
+    n_i = oh.sum(axis=0)
+    s_i = (oh * diff.reshape(-1, 1)).sum(axis=0)
     n_vp = jnp.maximum(n_i.sum(), 1.0)
     p_i = n_i / n_vp
     i_vals = jnp.arange(1, NG + 1, dtype=jnp.float32)
