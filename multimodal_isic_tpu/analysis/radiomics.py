@@ -125,24 +125,34 @@ class RadiomicsExtractor:
         bank = self._bank(jnp.asarray(chans))  # dict: type -> [4, H, W]
         img_types = sorted(bank)
         # 13 async dispatches (they pipeline on device) but ONE stacked
-        # [13, 4, nf] readback per image — per-scalar reads through the
-        # tunnel cost tens of ms and previously dominated wall time.  A
-        # single 52-wide fused call measured SLOWER (GLSZM's while_loop runs
-        # to the slowest batch element and dispatch overlap is lost).
+        # [13, 4, nf] readback per image.  (A single fused 13-type program
+        # was tried: its remote compile exceeded 20 min for a ~0.1 s/img
+        # dispatch-overhead saving — not worth it.)
         vecs = [self._bundle_vec(bank[t], m) for t in img_types]  # [4, nf]
         stacked = np.asarray(jnp.stack(vecs))  # [13, 4, nf]
         shape_vals = np.asarray(jnp.stack(jax.tree_util.tree_leaves(
             self._shape(m[0]))))
+        return self._assemble(stacked[:, None], shape_vals[:, None],
+                              img_types)[0]
 
-        out = {}
-        for i, ch in enumerate(CHANNELS):
-            d = {}
-            for t_idx, img_type in enumerate(img_types):
-                for f_idx, feat_name in enumerate(self._bundle_names):
-                    d[f"{img_type}_{feat_name}"] = float(stacked[t_idx, i, f_idx])
-            for s_idx, name in enumerate(self._shape_names):
-                d[f"original_shape2D_{name}"] = float(shape_vals[s_idx])
-            out[ch] = d
+    def _assemble(self, stacked: np.ndarray, shape_vals: np.ndarray,
+                  img_types) -> List[Dict[str, Dict[str, float]]]:
+        """[n_types, B, 4, nf] features + [n_shape, B] shape values → B
+        per-channel feature dicts (vectorized row unpack: per-scalar
+        ``float()`` over ~4.9k features/image measurably slows the host
+        loop)."""
+        n_t, b = stacked.shape[:2]
+        names = [f"{t}_{f}" for t in img_types for f in self._bundle_names]
+        shape_names = [f"original_shape2D_{n}" for n in self._shape_names]
+        out = []
+        for bi in range(b):
+            per_image = {}
+            for ci, ch in enumerate(CHANNELS):
+                vals = stacked[:, bi, ci, :].reshape(-1).tolist()
+                d = dict(zip(names, vals))
+                d.update(zip(shape_names, shape_vals[:, bi].tolist()))
+                per_image[ch] = d
+            out.append(per_image)
         return out
 
     def extract_radiomics(self, record: Dict) -> Dict[str, Dict[str, float]]:
@@ -176,25 +186,11 @@ class RadiomicsExtractor:
                         .reshape(b * 4, h, w))
         bank = self._bank(jnp.asarray(chans.reshape(b * 4, h, w)))
         img_types = sorted(bank)
-        vecs = [self._bundle_vec(bank[t], m) for t in img_types]
         nf = len(self._bundle_names)
+        vecs = [self._bundle_vec(bank[t], m) for t in img_types]
         stacked = np.asarray(jnp.stack(vecs)).reshape(len(img_types), b, 4, nf)
         shape_vals = np.asarray(self._shape_vec(jnp.asarray(mbin)))  # [ns, B]
-
-        out = []
-        for bi in range(b):
-            per_image = {}
-            for ci, ch in enumerate(CHANNELS):
-                d = {}
-                for t_idx, img_type in enumerate(img_types):
-                    for f_idx, feat_name in enumerate(self._bundle_names):
-                        d[f"{img_type}_{feat_name}"] = float(
-                            stacked[t_idx, bi, ci, f_idx])
-                for s_idx, name in enumerate(self._shape_names):
-                    d[f"original_shape2D_{name}"] = float(shape_vals[s_idx, bi])
-                per_image[ch] = d
-            out.append(per_image)
-        return out
+        return self._assemble(stacked, shape_vals, img_types)
 
     def _batched_extraction(self, records: Sequence[Dict]) -> List[Dict]:
         """Fixed-size chunks through the native full-frame decoder, with the

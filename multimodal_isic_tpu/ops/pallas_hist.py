@@ -28,6 +28,12 @@ from .texture import NG
 BLK = 2048
 
 
+def _one_hot_rows(codes: jnp.ndarray, width: int) -> jnp.ndarray:
+    """[BLK] int codes (1-based, 0 = invalid) → [width, BLK] one-hot."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (width, codes.shape[0]), 0)
+    return (rows == codes[None, :] - 1).astype(jnp.float32)
+
+
 def _one_hot_col(ref, rows: int, width: int) -> jnp.ndarray:
     lv = ref[:]  # [rows, 1] int32, 0 = invalid
     cols = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
@@ -39,11 +45,17 @@ def _joint_hist_kernel(a_ref, b_ref, out_ref, acc_ref, *, nb: int):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    a = _one_hot_col(a_ref, BLK, acc_ref.shape[0])
-    b = _one_hot_col(b_ref, BLK, nb)
-    acc_ref[:] += jax.lax.dot_general(
-        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # operands are [8, BLK] blocks (TPU needs the second-to-last block dim
+    # divisible by 8; a [n, 1] column layout tiles to T(8,128) with the
+    # trailing 1 padded to 128 lanes — a 128× HBM blowup on the forced
+    # custom-call operand copy at large batch).  One MXU contraction per row
+    # keeps the [nb, BLK] one-hot inside the VMEM budget.
+    for r in range(8):
+        a = _one_hot_rows(a_ref[r, :], acc_ref.shape[0])   # [na, BLK]
+        b = _one_hot_rows(b_ref[r, :], nb)                 # [nb, BLK]
+        acc_ref[:] += jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -58,16 +70,17 @@ def joint_histogram_pallas(codes_a: jnp.ndarray, codes_b: jnp.ndarray,
     a = codes_a.reshape(-1).astype(jnp.int32)
     b = codes_b.reshape(-1).astype(jnp.int32)
     n = a.shape[0]
-    n_pad = ((n + BLK - 1) // BLK) * BLK
+    chunk = 8 * BLK
+    n_pad = ((n + chunk - 1) // chunk) * chunk
     na_pad = ((na + 7) // 8) * 8
     nb_pad = ((nb + 127) // 128) * 128
-    a = jnp.pad(a, (0, n_pad - n)).reshape(n_pad, 1)
-    b = jnp.pad(b, (0, n_pad - n)).reshape(n_pad, 1)
+    a = jnp.pad(a, (0, n_pad - n)).reshape(n_pad // BLK, BLK)
+    b = jnp.pad(b, (0, n_pad - n)).reshape(n_pad // BLK, BLK)
 
-    spec = pl.BlockSpec((BLK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((8, BLK), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         partial(_joint_hist_kernel, nb=nb_pad),
-        grid=(n_pad // BLK,),
+        grid=(n_pad // chunk,),
         out_shape=jax.ShapeDtypeStruct((na_pad, nb_pad), jnp.float32),
         in_specs=[spec, spec],
         out_specs=pl.BlockSpec((na_pad, nb_pad), lambda i: (0, 0),
