@@ -59,7 +59,8 @@ class RadiomicsExtractor:
     def __init__(self, bin_width: float = 10.0, label: int = 255,
                  glrlm_max_len: int = 512, batch: int = 4,
                  image_size: Optional[Tuple[int, int]] = None,
-                 use_pallas_kernels: Optional[bool] = None):
+                 use_pallas_kernels: Optional[bool] = None,
+                 mesh=None):
         self.bin_width = float(bin_width)
         self.label = label
         self.glrlm_max_len = glrlm_max_len
@@ -69,19 +70,34 @@ class RadiomicsExtractor:
         if use_pallas_kernels is None:  # kernels compile on TPU only
             use_pallas_kernels = jax.default_backend() == "tpu"
         self.use_pallas_kernels = use_pallas_kernels
+        # Optional multi-chip extraction: with a (data, model) mesh the
+        # image×channel maps axis is sharded over ``data`` and every feature
+        # program runs embarrassingly parallel across chips — the TPU-native
+        # form of the reference's multiprocessing.Pool image farm
+        # (``RadiomicExtractor.py:58-71``), scaled over ICI instead of CPU
+        # processes.  batch×4 must divide the data-axis size.
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import data_sharding
+            maps_in = data_sharding(mesh, ndim=3)
+            jit_maps = lambda f: jax.jit(f, in_shardings=(maps_in, maps_in))
+            jit_bank = lambda f: jax.jit(f, in_shardings=(maps_in,))
+        else:
+            jit_maps = jax.jit
+            jit_bank = jax.jit
         # three modest jit units instead of one giant graph: the bundle is
         # compiled once and reused 13 (filters) x 4 (channels) times.  The
         # bundle returns ONE stacked [channels, n_feats] vector so the whole
         # image costs a single device->host readback (per-scalar reads cost
         # ~tens of ms each through the tunnel and dominated wall time).
-        self._bank = jax.jit(jax.vmap(FB.filter_bank))
+        self._bank = jit_bank(jax.vmap(FB.filter_bank))
 
         def bundle(img, m):
             feats = _texture_bundle(img, m, self.bin_width, self.glrlm_max_len,
                                     self.use_pallas_kernels)
             return jnp.stack(jax.tree_util.tree_leaves(feats))  # sorted keys
 
-        self._bundle_vec = jax.jit(jax.vmap(bundle))
+        self._bundle_vec = jit_maps(jax.vmap(bundle))
         self._shape = jax.jit(X.shape2d_features)
         # [B, H, W] masks -> [n_shape, B] (batched shape2D for the
         # cross-image path)

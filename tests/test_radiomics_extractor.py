@@ -123,3 +123,28 @@ def test_parallell_extraction_batched_with_native_decode(tmp_path, rng):
         for ch in CHANNELS:
             for k, v in s[ch].items():
                 assert b[ch][k] == pytest.approx(v, rel=1e-5, abs=1e-6), (ch, k)
+
+
+def test_mesh_sharded_extraction_matches_single_device(extracted, rng):
+    """Multi-chip radiomics: sharding the image×channel maps axis over the
+    8-device ``data`` mesh axis must be feature-identical to the meshless
+    path — the TPU-native replacement for the reference's
+    ``multiprocessing.Pool`` image farm (``RadiomicExtractor.py:58-71``)."""
+    from multimodal_isic_tpu.parallel import make_mesh
+
+    res0, rgb, mask, ex = extracted
+    rgb2 = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    mask2 = np.zeros((32, 32), np.uint8)
+    mask2[3:20, 8:30] = 255
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    exm = RadiomicsExtractor(glrlm_max_len=32, mesh=mesh)
+    # 2 images x 4 channels = 8 maps -> 1 per device
+    batch = exm.extract_channels_batch(np.stack([rgb, rgb2]),
+                                       np.stack([mask, mask2]))
+    single2 = ex.extract_channels(rgb2, mask2)
+    for ch in CHANNELS:
+        for k, v in res0[ch].items():
+            assert batch[0][ch][k] == pytest.approx(v, rel=1e-5, abs=1e-6), (ch, k)
+        for k, v in single2[ch].items():
+            assert batch[1][ch][k] == pytest.approx(v, rel=1e-5, abs=1e-6), (ch, k)
