@@ -317,3 +317,38 @@ def test_cluster_latents_cli_density(workspace, rng):
     assert (filtered["cluster"] >= 0).all()  # noise (-1) dropped by filter
     assert os.path.exists(viz + "_euclidean.png")
     assert os.path.exists(viz + "_cosine.png")
+
+
+def test_extract_radiomics_cli_mesh_selection():
+    """CLI mesh glue: -1 resolves to all (8 virtual) devices with chunk
+    batch = data-axis size; data=1 disables sharding."""
+    from multimodal_isic_tpu.cli.extract_radiomics import _maybe_mesh
+    mesh, batch = _maybe_mesh({"mesh": {"data": -1}})
+    assert mesh is not None and batch == 8
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    mesh1, batch1 = _maybe_mesh({"mesh": {"data": 1}})
+    assert mesh1 is None and batch1 == 4
+
+
+def test_extract_radiomics_cli_end_to_end(tmp_path):
+    """The extract_radiomics workload through the CLI on a mini synthetic
+    set (mesh-sharded on the virtual 8-device mesh): suffixed 4-channel
+    frames written to the configured pickles (extract_radiomics.py:54-77)."""
+    import yaml as _yaml
+
+    from multimodal_isic_tpu.cli import extract_radiomics, prepare_df
+
+    dirs = make_synthetic_isic(str(tmp_path / "d"), n_train=8, n_test=2,
+                               image_hw=(32, 32), seed=11)
+    cfg_path = tmp_path / "c.yml"
+    cfg_path.write_text(_yaml.safe_dump({"dir": dirs, "mesh": {"data": -1}}))
+    prepare_df.main(["--config_path", str(cfg_path)])
+    extract_radiomics.main(["--config_path", str(cfg_path)])
+    tr = pd.read_pickle(dirs["radiomics"])
+    te = pd.read_pickle(dirs["radiomics_test"])
+    assert len(tr) == 8 and len(te) == 2
+    # 4 channels x (13 image types x per-class features + 9 shape2D)
+    for suffix in ("_gs", "_red", "_green", "_blue"):
+        assert any(c.endswith(suffix) for c in tr.columns)
+    assert list(tr.columns) == list(te.columns)
+    assert np.isfinite(tr.to_numpy(np.float64)).all()
