@@ -192,3 +192,41 @@ def test_checkpoint_roundtrip_across_mesh_shapes(eight_devices, tmp_path):
     cont_a = jax.jit(lambda s, g: s.apply_gradients(g, opt))(restored4, grads)
     cont_b = jax.jit(lambda s, g: s.apply_gradients(g, opt))(restored1, grads)
     _tree_allclose(cont_a.params, jax.device_get(cont_b.params))
+
+
+def test_mae_tensor_parallel_step_equals_replicated(eight_devices):
+    """TP is real, not reserved: ConvMAE params Megatron-placed over a
+    (data=2, model=4) mesh (`parallel.tp`) run the SAME jitted train step as
+    the replicated layout on the SAME mesh — XLA inserts the row/column
+    collectives from the shardings alone — and one SGD step matches bit-near
+    (3e-8 on CPU).  The same-mesh comparison isolates the TP transformation:
+    changing the per-device batch (mesh shape) alone already moves fp32
+    results by ~5e-4 through conv reduction reordering, TP adds nothing."""
+    from multimodal_isic_tpu.core.optim import sgd
+    from multimodal_isic_tpu.parallel.tp import place_tp
+
+    model = ConvMAE(**TINY_MAE)
+    params = init_mae(model, jax.random.PRNGKey(0), batch_size=2)
+    opt = sgd(1e-2)
+    step = make_mae_train_step(model, opt, mask_ratio=0.75)
+    images = np.random.RandomState(0).rand(8, 64, 64, 3).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    mesh = make_mesh(n_data=2, n_model=4)
+
+    prep = jax.device_put(params, replicated(mesh))
+    srep, lrep = step(TrainState.create(prep, opt, jax.random.PRNGKey(1)),
+                      shard_batch(mesh, images), None, key)
+
+    ptp = place_tp(params, mesh)
+    # the QKV kernel really is column-split 4 ways over the model axis
+    qkv = ptp["vit_0"]["Attention_0"]["Dense_0"]["kernel"]
+    assert {s.data.shape for s in qkv.addressable_shards} == {(32, 96 // 4)}
+    stp, ltp = step(TrainState.create(ptp, opt, jax.random.PRNGKey(1)),
+                    shard_batch(mesh, images), None, key)
+
+    assert float(ltp) == pytest.approx(float(lrep), rel=1e-6)
+    _tree_allclose(jax.device_get(stp.params), jax.device_get(srep.params),
+                   rtol=1e-5, atol=1e-6)
+    # the updated params keep the TP layout (no silent gather-back)
+    new_qkv = stp.params["vit_0"]["Attention_0"]["Dense_0"]["kernel"]
+    assert {s.data.shape for s in new_qkv.addressable_shards} == {(32, 24)}
