@@ -77,7 +77,7 @@ def main(argv=None) -> None:
         print(f"Number of clusters found: {len(np.unique(clusters))}")
 
     if args.viz_out:
-        from ..utils.viz import embedding_scatter
+        from ..utils.viz import embedding_scatter, interactive_scatter_html
         for metric in ("euclidean", "cosine"):  # cluster_latents.py:175-217
             e2 = E.neighbor_embedding(x, n_components=2, metric=metric,
                                       seed=config["seed"])
@@ -87,6 +87,14 @@ def main(argv=None) -> None:
                               title=f"{metric} neighbor embedding "
                                     f"(trustworthiness {t:.3f})")
             print(f"Wrote {path}")
+            if metric == "euclidean":  # interactive plot: cluster_latents.py:220-225
+                hpath = f"{args.viz_out}_interactive.html"
+                hover = df["image_path"].map(
+                    lambda p: p.rsplit("/", 1)[-1]).tolist()
+                interactive_scatter_html(e2, clusters, hpath, hover=hover,
+                                         title="patch-latent embedding "
+                                               "(hover: source image)")
+                print(f"Wrote {hpath}")
 
     patient_targets = (df.assign(pid=df["image_path"].map(patient_id_from_path))
                        .groupby("pid")["target"].agg(lambda s: s.mode()[0]).values)

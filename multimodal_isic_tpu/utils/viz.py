@@ -131,3 +131,62 @@ def reconstruction_grid(image: np.ndarray, pred_patches: np.ndarray,
     plt.savefig(out_path)
     plt.close(fig)
     return out_path
+
+
+def interactive_scatter_html(emb2d: np.ndarray, targets: np.ndarray,
+                             out_path: str, hover: Optional[list] = None,
+                             title: str = "embedding") -> None:
+    """Self-contained interactive 2-D scatter (pan-free canvas + hover
+    tooltip), the dependency-free stand-in for the reference's bokeh plot
+    (``cluster_latents.py:220-225``).  One HTML file, inline data, no CDN."""
+    import json
+
+    emb2d = np.asarray(emb2d, np.float64)
+    targets = np.asarray(targets).astype(int)
+    hover = list(hover) if hover is not None else [str(t) for t in targets]
+    data = [{"x": round(float(x), 4), "y": round(float(y), 4),
+             "c": int(c), "t": str(h)}
+            for (x, y), c, h in zip(emb2d, targets, hover)]
+    palette = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
+               "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf"]
+    html = f"""<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>{title}</title></head><body>
+<h3>{title}</h3><canvas id="c" width="900" height="700"></canvas>
+<div id="tip" style="position:absolute;background:#fff;border:1px solid #888;
+padding:2px 6px;font:12px sans-serif;display:none"></div>
+<script>
+const data = {json.dumps(data)};
+const palette = {json.dumps(palette)};
+const cv = document.getElementById("c"), ctx = cv.getContext("2d");
+const xs = data.map(d=>d.x), ys = data.map(d=>d.y);
+const x0 = Math.min(...xs), x1 = Math.max(...xs);
+const y0 = Math.min(...ys), y1 = Math.max(...ys);
+const px = d => 30 + (d.x - x0) / (x1 - x0 + 1e-9) * 840;
+const py = d => 670 - (d.y - y0) / (y1 - y0 + 1e-9) * 640;
+function draw() {{
+  ctx.clearRect(0, 0, 900, 700);
+  for (const d of data) {{
+    ctx.fillStyle = d.c < 0 ? "#cccccc" : palette[d.c % palette.length];
+    ctx.beginPath(); ctx.arc(px(d), py(d), 3, 0, 6.2832); ctx.fill();
+  }}
+}}
+draw();
+const tip = document.getElementById("tip");
+cv.addEventListener("mousemove", ev => {{
+  const r = cv.getBoundingClientRect();
+  const mx = ev.clientX - r.left, my = ev.clientY - r.top;
+  let best = null, bd = 64;
+  for (const d of data) {{
+    const dd = (px(d)-mx)**2 + (py(d)-my)**2;
+    if (dd < bd) {{ bd = dd; best = d; }}
+  }}
+  if (best) {{
+    tip.style.display = "block";
+    tip.style.left = (ev.pageX + 12) + "px";
+    tip.style.top = (ev.pageY + 12) + "px";
+    tip.textContent = best.t + " (class " + best.c + ")";
+  }} else tip.style.display = "none";
+}});
+</script></body></html>"""
+    with open(out_path, "w") as f:
+        f.write(html)

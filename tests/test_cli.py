@@ -352,3 +352,31 @@ def test_extract_radiomics_cli_end_to_end(tmp_path):
         assert any(c.endswith(suffix) for c in tr.columns)
     assert list(tr.columns) == list(te.columns)
     assert np.isfinite(tr.to_numpy(np.float64)).all()
+
+
+def test_cluster_latents_cli_interactive_html(workspace, rng, tmp_path):
+    """--viz_out writes the euclidean/cosine scatters AND the interactive
+    HTML plot (reference's bokeh output, cluster_latents.py:220-225) with
+    every patch inlined."""
+    from multimodal_isic_tpu.cli import cluster_latents
+    root, cfg, dirs = workspace
+    rows = []
+    for img in range(8):
+        label = img % 2
+        for pid in range(4):
+            lat = rng.randn(6).astype(np.float32) + label * 3.0
+            rows.append({"image_path": f"SYN_{img:07d}_x.jpg",
+                         "segmentation_path": "s", "target": label,
+                         "patch_id": pid, "patch_latent": lat,
+                         "patch_in_mask": 1, "patch_latent_pca": lat})
+    path = str(tmp_path / "patches.pkl")
+    pd.DataFrame(rows).to_pickle(path)
+    viz = str(tmp_path / "emb")
+    cluster_latents.main(["--config_path", cfg, "--patch_df", path,
+                          "--k", "3", "--out", str(tmp_path / "f.pkl"),
+                          "--viz_out", viz])
+    html = (tmp_path / "emb_interactive.html").read_text()
+    assert html.count('"x":') == 32          # every patch inlined
+    assert "SYN_0000003_x.jpg" in html       # hover text carries the source
+    assert os.path.exists(viz + "_euclidean.png")
+    assert os.path.exists(viz + "_cosine.png")
