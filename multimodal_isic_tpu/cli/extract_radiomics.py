@@ -21,7 +21,7 @@ def _maybe_mesh(config):
     if n == -1:
         n = len(jax.devices())
     if n <= 1 or len(jax.devices()) < n:
-        return None, 4
+        return None, 16  # single device: measured-best chunk (README)
     from ..parallel import make_mesh
     return make_mesh(n_data=n, n_model=1), n  # batch=n → n·4 maps divide n
 

@@ -327,7 +327,7 @@ def test_extract_radiomics_cli_mesh_selection():
     assert mesh is not None and batch == 8
     assert dict(mesh.shape) == {"data": 8, "model": 1}
     mesh1, batch1 = _maybe_mesh({"mesh": {"data": 1}})
-    assert mesh1 is None and batch1 == 4
+    assert mesh1 is None and batch1 == 16  # measured-best single-device chunk
 
 
 def test_extract_radiomics_cli_end_to_end(tmp_path):
