@@ -37,20 +37,44 @@ def _pairwise_sq(x, y=None):
     return jnp.maximum(x2 - 2.0 * (x @ y.T) + y2, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "metric"))
-def knn_graph(x: jnp.ndarray, k: int = 15, metric: str = "euclidean"
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+@partial(jax.jit, static_argnames=("k", "metric", "block"))
+def knn_graph(x: jnp.ndarray, k: int = 15, metric: str = "euclidean",
+              block: int = 4096) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """→ (nbr [N, k] indices, dist [N, k]) — self excluded.  'cosine'
     normalizes rows first (cosine distance = euclidean on the unit sphere
-    up to monotone transform, which is all kNN needs)."""
+    up to monotone transform, which is all kNN needs).
+
+    Rows are processed in ``block``-sized chunks under ``lax.map`` so peak
+    memory is O(block·N), not O(N²) — patch-level latent tables run to
+    hundreds of thousands of rows (compute is still exact O(N²·D); subsample
+    or PCA first at multi-million scale)."""
     x = jnp.asarray(x, jnp.float32)
     if metric == "cosine":
         x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     n = x.shape[0]
-    d2 = _pairwise_sq(x)
-    d2 = d2.at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
-    neg, nbr = jax.lax.top_k(-d2, min(k, n - 1))
-    return nbr, jnp.sqrt(jnp.maximum(-neg, 0.0))
+    kk = min(k, n - 1)
+    if n <= block:
+        d2 = _pairwise_sq(x)
+        d2 = d2.at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
+        neg, nbr = jax.lax.top_k(-d2, kk)
+        return nbr, jnp.sqrt(jnp.maximum(-neg, 0.0))
+    nb = -(-n // block)
+    xp = jnp.pad(x, ((0, nb * block - n), (0, 0)))
+    x2 = (x ** 2).sum(1)[None, :]
+    col = jnp.arange(n)[None, :]
+
+    def chunk(i):
+        rows = jax.lax.dynamic_slice_in_dim(xp, i * block, block)
+        d2 = jnp.maximum((rows ** 2).sum(1)[:, None] - 2.0 * (rows @ x.T) + x2,
+                         0.0)
+        idx = i * block + jnp.arange(block)
+        d2 = jnp.where(col == idx[:, None], jnp.inf, d2)
+        neg, nbr = jax.lax.top_k(-d2, kk)
+        return nbr, jnp.sqrt(jnp.maximum(-neg, 0.0))
+
+    nbrs, dists = jax.lax.map(chunk, jnp.arange(nb))
+    return (nbrs.reshape(nb * block, kk)[:n],
+            dists.reshape(nb * block, kk)[:n])
 
 
 # ------------------------------------------------------------- embedding
@@ -124,13 +148,23 @@ def neighbor_embedding(x: np.ndarray, n_components: int = 2,
 @partial(jax.jit, static_argnames=("n_iters",))
 def _connected_components(nbr, edge_ok, n_iters: int = 64):
     """Min-label propagation over a masked kNN edge list with pointer
-    jumping (label ← label[label]) — converges in O(log N) rounds."""
+    jumping (label ← label[label]) — converges in O(log N) rounds.
+
+    Labels flow BOTH ways across each stored edge: the mutual-reachability
+    connectivity rule is symmetric, but kNN rows are not — a dense blob's
+    rows may not reciprocate a sparser neighbor's edge, and pull-only
+    propagation would then split one component in two.  The scatter-min
+    pushes each point's label along its out-edges to cover that case."""
     n = nbr.shape[0]
     label = jnp.arange(n)
 
     def body(label, _):
         nbr_labels = jnp.where(edge_ok, label[nbr], n)
         label = jnp.minimum(label, nbr_labels.min(axis=1))
+        tgt = jnp.where(edge_ok, nbr, n).reshape(-1)
+        src = jnp.broadcast_to(label[:, None], nbr.shape).reshape(-1)
+        ext = jnp.concatenate([label, jnp.array([n])])
+        label = ext.at[tgt].min(src)[:-1]
         label = jnp.minimum(label, label[label])  # pointer jump
         return label, None
 

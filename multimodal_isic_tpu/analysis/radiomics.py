@@ -98,6 +98,14 @@ class RadiomicsExtractor:
             return jnp.stack(jax.tree_util.tree_leaves(feats))  # sorted keys
 
         self._bundle_vec = jit_maps(jax.vmap(bundle))
+        # the per-image path (extract_channels: 4 maps) cannot satisfy a
+        # mesh's divisibility constraint — it always runs the unsharded jits
+        if mesh is not None:
+            self._bank_single = jax.jit(jax.vmap(FB.filter_bank))
+            self._bundle_vec_single = jax.jit(jax.vmap(bundle))
+        else:
+            self._bank_single = self._bank
+            self._bundle_vec_single = self._bundle_vec
         self._shape = jax.jit(X.shape2d_features)
         # [B, H, W] masks -> [n_shape, B] (batched shape2D for the
         # cross-image path)
@@ -138,13 +146,13 @@ class RadiomicsExtractor:
         m = jnp.asarray(np.broadcast_to(
             (np.asarray(mask) == self.label).astype(np.uint8) * 255,
             (4, *mask.shape)))
-        bank = self._bank(jnp.asarray(chans))  # dict: type -> [4, H, W]
+        bank = self._bank_single(jnp.asarray(chans))  # dict: type -> [4, H, W]
         img_types = sorted(bank)
         # 13 async dispatches (they pipeline on device) but ONE stacked
         # [13, 4, nf] readback per image.  (A single fused 13-type program
         # was tried: its remote compile exceeded 20 min for a ~0.1 s/img
         # dispatch-overhead saving — not worth it.)
-        vecs = [self._bundle_vec(bank[t], m) for t in img_types]  # [4, nf]
+        vecs = [self._bundle_vec_single(bank[t], m) for t in img_types]  # [4, nf]
         stacked = np.asarray(jnp.stack(vecs))  # [13, 4, nf]
         shape_vals = np.asarray(jnp.stack(jax.tree_util.tree_leaves(
             self._shape(m[0]))))
@@ -192,6 +200,12 @@ class RadiomicsExtractor:
         becomes a batch axis)."""
         rgb = np.asarray(rgb_batch)
         b, h, w, _ = rgb.shape
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            if (b * 4) % n_data:
+                raise ValueError(
+                    f"batch {b} × 4 channel maps must divide the mesh data "
+                    f"axis ({n_data}); use batch={max(1, n_data // 4)}·k")
         gray = np.round(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
                         + 0.114 * rgb[..., 2]).astype(np.float32)
         chans = np.stack([gray, rgb[..., 0].astype(np.float32),

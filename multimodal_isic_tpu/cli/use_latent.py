@@ -75,6 +75,10 @@ def _sweep(args, config, model_config, logger) -> None:
         out_csv=out_csv, config_snapshot=config.to_dict(),
         config_out=config_out, logger=logger)
     print(f"\nSaved runs results to {out_csv}")
+    if results.empty:
+        print("No runnable checkpoints in the sweep (all rows skipped); "
+              "no results to report.")
+        return
     with pd.option_context("display.width", 200):
         print(results[["id", "checkpoint_type", "micro_accuracy",
                        "macro_f1", "weighted_f1"]].to_string(index=False))

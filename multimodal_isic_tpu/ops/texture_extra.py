@@ -14,22 +14,9 @@ import jax
 import jax.numpy as jnp
 
 from .texture import EPS, NG
+from .texture import _shift2d as _shift  # one shift helper for all classes
 
 NEIGH8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
-
-
-def _shift(x: jnp.ndarray, dy: int, dx: int, fill):
-    out = jnp.roll(jnp.roll(x, dy, axis=0), dx, axis=1)
-    h, w = x.shape
-    if dy > 0:
-        out = out.at[:dy, :].set(fill)
-    elif dy < 0:
-        out = out.at[dy:, :].set(fill)
-    if dx > 0:
-        out = out.at[:, :dx].set(fill)
-    elif dx < 0:
-        out = out.at[:, dx:].set(fill)
-    return out
 
 
 def connected_components(levels: jnp.ndarray, inside: jnp.ndarray,

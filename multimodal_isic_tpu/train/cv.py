@@ -34,9 +34,9 @@ def _fold_metrics(final: Dict, test_best_loss: Optional[Dict],
     row = {}
     for k in METRIC_KEYS:
         row[f"val_{k}"] = float(final.get(f"val_{k}", np.nan))
+    bacc_dict = test_best_bacc if test_best_bacc is not None else {
+        k2: final.get(f"test_{k2}", np.nan) for k2 in METRIC_KEYS}
     for k in TEST_METRIC_KEYS:
-        bacc_dict = test_best_bacc if test_best_bacc is not None else {
-            k2: final.get(f"test_{k2}", np.nan) for k2 in METRIC_KEYS}
         row[f"test_{k}_best_bacc"] = float(bacc_dict.get(k, np.nan))
         row[f"test_{k}_best_loss"] = float(
             (test_best_loss or {}).get(k, np.nan))

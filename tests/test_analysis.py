@@ -245,3 +245,34 @@ def test_knn_graph_cosine_is_scale_invariant(rng):
     nbr1, _ = knn_graph(jnp.asarray(x), k=5, metric="cosine")
     nbr2, _ = knn_graph(jnp.asarray(x * scales), k=5, metric="cosine")
     assert (np.asarray(nbr1) == np.asarray(nbr2)).mean() > 0.95
+
+
+def test_density_cluster_asymmetric_knn_edges(rng):
+    """A sparse chain attached to a dense blob: the blob's kNN rows don't
+    reciprocate the chain's edges, so pull-only label propagation would
+    split one connected component in two — the symmetrized (push+pull)
+    propagation must return ONE cluster."""
+    from multimodal_isic_tpu.analysis.embed import density_cluster
+
+    blob = rng.randn(30, 2) * 0.05                     # dense blob at origin
+    chain = np.stack([np.linspace(0.5, 6.0, 12),
+                      np.zeros(12)], axis=1)           # sparse chain outward
+    x = np.concatenate([blob, chain]).astype(np.float32)
+    labels = density_cluster(x, min_cluster_size=5, min_samples=3, eps=1.0,
+                             k=5)
+    core = labels[labels >= 0]
+    assert len(np.unique(core)) == 1, labels
+    # a blob point and a mid-chain point share that one cluster (the chain's
+    # far endpoint is legitimately non-core: its 3rd NN sits 1.5 > eps away)
+    assert labels[0] == labels[35] >= 0
+
+
+def test_knn_graph_chunked_matches_single_block(rng):
+    from multimodal_isic_tpu.analysis.embed import knn_graph
+
+    x = rng.randn(300, 8).astype(np.float32)
+    nbr_a, dist_a = knn_graph(jnp.asarray(x), k=7)              # single block
+    nbr_b, dist_b = knn_graph(jnp.asarray(x), k=7, block=64)    # 5 chunks
+    np.testing.assert_array_equal(np.asarray(nbr_a), np.asarray(nbr_b))
+    np.testing.assert_allclose(np.asarray(dist_a), np.asarray(dist_b),
+                               rtol=1e-6)

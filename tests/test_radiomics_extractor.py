@@ -148,3 +148,15 @@ def test_mesh_sharded_extraction_matches_single_device(extracted, rng):
             assert batch[0][ch][k] == pytest.approx(v, rel=1e-5, abs=1e-6), (ch, k)
         for k, v in single2[ch].items():
             assert batch[1][ch][k] == pytest.approx(v, rel=1e-5, abs=1e-6), (ch, k)
+
+
+def test_mesh_extractor_per_image_path(extracted):
+    """A mesh-configured extractor must still serve the per-image API (4
+    maps can't divide an 8-device data axis — it runs the unsharded jits)."""
+    from multimodal_isic_tpu.parallel import make_mesh
+
+    res0, rgb, mask, _ = extracted
+    exm = RadiomicsExtractor(glrlm_max_len=32, mesh=make_mesh(8, 1))
+    res = exm.extract_channels(rgb, mask)
+    for k, v in res0["grayscale"].items():
+        assert res["grayscale"][k] == pytest.approx(v, rel=1e-5, abs=1e-6), k
