@@ -307,20 +307,28 @@ def glrlm_features(levels: jnp.ndarray, mask: jnp.ndarray,
                    use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
     """The 16 pyradiomics GLRLM features, averaged over the 4 angles.
 
-    ``use_pallas`` computes the gray×length histogram with the MXU one-hot
-    kernel (ops.pallas_hist) instead of an XLA bincount — measured 1.38×
-    faster on TPU at 450²; both paths are exactly equivalent (tested)."""
+    ``use_pallas`` runs the VMEM-resident 4-angle run-bookkeeping kernel
+    (ops.pallas_glrlm — the XLA shift chains cost ~3 ms per whole-map op in
+    HBM) and the MXU one-hot histogram kernel (ops.pallas_hist); both paths
+    are exactly equivalent (tested)."""
     inside = mask > 0
     n_p = jnp.maximum(inside.sum().astype(jnp.float32), 1.0)
     i_vals = jnp.arange(1, NG + 1, dtype=jnp.float32)
     l_vals = jnp.arange(1, max_len + 1, dtype=jnp.float32)
     lvl_valid = (i_vals <= n_levels.astype(jnp.float32)).astype(jnp.float32)
 
+    if use_pallas:
+        from .pallas_glrlm import glrlm_runs_pallas, unpack_runs
+        packed = glrlm_runs_pallas(levels, inside)
+
     def per_angle(angle_idx):
         dy, dx = ANGLES_2D[angle_idx]
         if use_pallas:
-            from .pallas_hist import glrlm_matrix_pallas
-            P = glrlm_matrix_pallas(levels, inside, dy, dx, max_len)
+            from .pallas_hist import joint_histogram_pallas
+            start, gray, length = unpack_runs(packed[angle_idx])
+            g_codes = jnp.where(start, gray, 0)
+            l_codes = jnp.where(start, jnp.clip(length, 1, max_len), 0)
+            P = joint_histogram_pallas(g_codes, l_codes, NG, max_len)
         else:
             P = glrlm_matrix_for_angle(levels, inside, dy, dx, max_len)
         P = P * lvl_valid[:, None]
