@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.depthwise import DepthwiseConv
 from ..ops.patches import patch_overlap_mask, patchify, unpatchify
 
 
@@ -114,19 +115,22 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, keep: Optional[jnp.ndarray] = None):
+        # explicit names keep the param tree identical to the original
+        # auto-numbered nn.Conv layout (checkpoints + torch porter paths)
         h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype)(h)
+        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="Conv_0")(h)
         if keep is not None:
             h = h * keep.astype(h.dtype)
-        h = nn.Conv(self.dim, (5, 5), padding="SAME",
-                    feature_group_count=self.dim, dtype=self.dtype)(h)
+        h = DepthwiseConv(self.dim, (5, 5), padding="SAME",
+                          dtype=self.dtype, name="Conv_1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype)(h)
+        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="Conv_2")(h)
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = nn.Conv(int(self.dim * self.mlp_ratio), (1, 1), dtype=self.dtype)(h)
+        h = nn.Conv(int(self.dim * self.mlp_ratio), (1, 1), dtype=self.dtype,
+                    name="Conv_3")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype)(h)
+        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="Conv_4")(h)
         return x + h
 
 

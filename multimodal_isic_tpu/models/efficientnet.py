@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.depthwise import DepthwiseConv
+
 # (expand_ratio, kernel, stride, in_filters, out_filters, num_repeat) — B0 base
 _BASE_BLOCKS = [
     (1, 3, 1, 32, 16, 1),
@@ -102,9 +104,9 @@ class MBConv(nn.Module):
             x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
                         name="expand_conv")(x)
             x = nn.silu(bn("bn0")(x))
-        x = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
-                    padding="SAME", feature_group_count=mid, use_bias=False,
-                    dtype=self.dtype, name="depthwise_conv")(x)
+        x = DepthwiseConv(mid, (self.kernel, self.kernel), stride=self.stride,
+                          padding="SAME", use_bias=False,
+                          dtype=self.dtype, name="depthwise_conv")(x)
         x = nn.silu(bn("bn1")(x))
 
         # squeeze-excite on the *input* channel count ratio

@@ -34,7 +34,15 @@ def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 def init_fusion(model: MultiModalFusionNet, rng: jax.Array, batch: Dict):
     kwargs = {k: batch[k] for k in BATCH_KEYS if k in batch}
-    variables = model.init({"params": rng, "dropout": rng}, **kwargs, train=False)
+
+    # jitted: eager init dispatches thousands of tiny param-init ops (~50 s
+    # for B3 on one CPU core); as one compiled program it runs in seconds and
+    # repeat runs hit the persistent compilation cache.
+    @jax.jit
+    def _init(rng, kw):
+        return model.init({"params": rng, "dropout": rng}, **kw, train=False)
+
+    variables = _init(rng, kwargs)
     return variables["params"], variables.get("batch_stats", {})
 
 
