@@ -57,7 +57,7 @@ class RadiomicsExtractor:
     (``RadiomicExtractor.py:12-94``), computing on TPU in batches."""
 
     def __init__(self, bin_width: float = 10.0, label: int = 255,
-                 glrlm_max_len: int = 512, batch: int = 16,
+                 glrlm_max_len: int = 640, batch: int = 16,
                  image_size: Optional[Tuple[int, int]] = None,
                  use_pallas_kernels: Optional[bool] = None,
                  mesh=None):

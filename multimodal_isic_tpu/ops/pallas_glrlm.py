@@ -90,6 +90,13 @@ def glrlm_runs_pallas(levels: jnp.ndarray, inside: jnp.ndarray,
     """[H, W] levels (1..NG, 0 outside) + bool inside → packed [4, H, W]
     int32 run bookkeeping (see module docstring for the bit layout)."""
     h, w = levels.shape
+    # packed-run layout invariants: 11 length bits (runs < 2048) and 7 gray
+    # bits (levels <= 127) — fail loudly rather than corrupt features
+    assert h < (1 << LEN_BITS) and w < (1 << LEN_BITS), (
+        f"glrlm_runs_pallas packs run lengths into {LEN_BITS} bits; "
+        f"{h}x{w} images can have longer runs")
+    from .texture import NG as _NG
+    assert _NG <= 127, f"gray levels must fit 7 bits, NG={_NG}"
     hp = ((h + 7) // 8) * 8
     wp = ((w + 127) // 128) * 128
     lv = jnp.pad(levels.astype(jnp.int32), ((0, hp - h), (0, wp - w)),

@@ -49,6 +49,12 @@ def discretize(image: jnp.ndarray, mask: jnp.ndarray, bin_width: float):
     # global max into the last bin (numpy.digitize right=False with the max
     # landing exactly on the final edge).
     n_levels = jnp.floor(roi_max / bin_width) - low + 1.0
+    # static-bound guard: an ROI whose dynamic range exceeds NG·bin_width
+    # (e.g. a wide-range LoG response) saturates into the top bin instead of
+    # silently vanishing from every matrix (one_hot(level-1, NG) would drop
+    # any level > NG).  pyradiomics would use more bins; saturation keeps the
+    # static shape and is the documented approximation for such ROIs.
+    n_levels = jnp.minimum(n_levels, float(NG))
     lv = jnp.clip(lv, 1.0, n_levels)
     levels = jnp.where(inside, lv, 0.0).astype(jnp.int32)
     return levels, n_levels.astype(jnp.int32), low * bin_width
@@ -303,9 +309,15 @@ def glrlm_matrix_for_angle(levels, inside, dy, dx, max_len: int):
 
 
 def glrlm_features(levels: jnp.ndarray, mask: jnp.ndarray,
-                   n_levels: jnp.ndarray, max_len: int = 512,
+                   n_levels: jnp.ndarray, max_len: int = 640,
                    use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
     """The 16 pyradiomics GLRLM features, averaged over the 4 angles.
+
+    ``max_len`` must be ≥ the longest possible straight run — max(H, W) for
+    the axis-aligned angles (640 covers the reference's 450×600 frames; the
+    old 512 default silently folded 600-px uniform runs into the top length
+    bin).  Longer runs still saturate into bin ``max_len`` (documented
+    truncation, exercised by tests/test_texture.py).
 
     ``use_pallas`` runs the VMEM-resident 4-angle run-bookkeeping kernel
     (ops.pallas_glrlm — the XLA shift chains cost ~3 ms per whole-map op in

@@ -20,7 +20,7 @@ NEIGH8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
 
 
 def connected_components(levels: jnp.ndarray, inside: jnp.ndarray,
-                         max_iters: int = 40) -> jnp.ndarray:
+                         max_iters: int = 128) -> jnp.ndarray:
     """Per-pixel component label (min linear index of the component) for
     same-gray 8-connected regions inside the ROI; BIG outside.
 
@@ -95,6 +95,11 @@ def glszm_features(levels: jnp.ndarray, mask: jnp.ndarray,
     (tested), ~10× faster on TPU where gather/scatter is near-serial."""
     inside = mask > 0
     h, w = levels.shape
+    # the sort-based zone grouping packs (label, gray) into one int32 key:
+    # label·(NG+1)+gray must stay below 2³¹ or zones silently scramble
+    assert h * w * (NG + 1) < 2 ** 31, (
+        f"glszm key packing overflows int32 for {h}x{w} images "
+        f"(h*w*(NG+1) = {h * w * (NG + 1)} >= 2^31)")
     n_p = jnp.maximum(inside.sum().astype(jnp.float32), 1.0)
     if use_pallas:
         from .pallas_cc import connected_components_pallas

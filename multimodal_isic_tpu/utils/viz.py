@@ -139,6 +139,7 @@ def interactive_scatter_html(emb2d: np.ndarray, targets: np.ndarray,
     """Self-contained interactive 2-D scatter (pan-free canvas + hover
     tooltip), the dependency-free stand-in for the reference's bokeh plot
     (``cluster_latents.py:220-225``).  One HTML file, inline data, no CDN."""
+    import html as _html
     import json
 
     emb2d = np.asarray(emb2d, np.float64)
@@ -147,6 +148,7 @@ def interactive_scatter_html(emb2d: np.ndarray, targets: np.ndarray,
     data = [{"x": round(float(x), 4), "y": round(float(y), 4),
              "c": int(c), "t": str(h)}
             for (x, y), c, h in zip(emb2d, targets, hover)]
+    title = _html.escape(str(title))
     palette = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
                "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf"]
     html = f"""<!DOCTYPE html><html><head><meta charset="utf-8">
@@ -155,12 +157,17 @@ def interactive_scatter_html(emb2d: np.ndarray, targets: np.ndarray,
 <div id="tip" style="position:absolute;background:#fff;border:1px solid #888;
 padding:2px 6px;font:12px sans-serif;display:none"></div>
 <script>
-const data = {json.dumps(data)};
+const data = {json.dumps(data).replace("</", "<\\/")};
 const palette = {json.dumps(palette)};
 const cv = document.getElementById("c"), ctx = cv.getContext("2d");
+// reduce, not Math.min(...xs): the spread form overflows the JS argument
+// limit above ~65k points and patch-latent tables reach hundreds of
+// thousands of rows
 const xs = data.map(d=>d.x), ys = data.map(d=>d.y);
-const x0 = Math.min(...xs), x1 = Math.max(...xs);
-const y0 = Math.min(...ys), y1 = Math.max(...ys);
+const x0 = xs.reduce((a,b)=>Math.min(a,b), Infinity);
+const x1 = xs.reduce((a,b)=>Math.max(a,b), -Infinity);
+const y0 = ys.reduce((a,b)=>Math.min(a,b), Infinity);
+const y1 = ys.reduce((a,b)=>Math.max(a,b), -Infinity);
 const px = d => 30 + (d.x - x0) / (x1 - x0 + 1e-9) * 840;
 const py = d => 670 - (d.y - y0) / (y1 - y0 + 1e-9) * 640;
 function draw() {{

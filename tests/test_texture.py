@@ -5,6 +5,7 @@ formulas and serve as the oracle)."""
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from multimodal_isic_tpu.ops import texture as T
@@ -266,3 +267,51 @@ def test_firstorder_matches_numpy(rng):
     assert float(feats["Entropy"]) == pytest.approx(
         -(p[p > 0] * np.log2(p[p > 0])).sum(), rel=1e-4)
     assert float(feats["Uniformity"]) == pytest.approx((p ** 2).sum(), rel=1e-4)
+
+
+# --------------------------------------------- static-bound edge-case guards
+
+def test_discretize_saturates_into_top_bin_beyond_ng():
+    """A wide-range image (e.g. a LoG response spanning > NG*binWidth) must
+    saturate into level NG instead of silently vanishing from every matrix
+    (the old behavior: one_hot(level-1, NG) zeroed levels > NG)."""
+    img = np.zeros((8, 8), np.float32)
+    img[0, :] = np.linspace(0.0, 1000.0, 8)  # range 1000 > 64*10
+    mask = np.ones((8, 8), np.uint8) * 255
+    levels, n_levels, _ = T.discretize(jnp.asarray(img), jnp.asarray(mask), 10.0)
+    levels = np.asarray(levels)
+    assert int(n_levels) == T.NG
+    assert levels.max() == T.NG
+    assert levels.min() >= 1  # every ROI pixel keeps a valid level
+    # every in-ROI pixel must be counted by the one-hot formulation
+    onehot_mass = np.asarray(
+        jnp.sum(jax.nn.one_hot(jnp.asarray(levels) - 1, T.NG)))
+    assert onehot_mass == mask.size
+
+
+def test_glrlm_counts_600px_uniform_run():
+    """The reference's 450×600 frames can contain a 600-px uniform horizontal
+    run; the default max_len must place it in its TRUE length bin (the old
+    512 default silently folded it into the top bin)."""
+    h, w = 4, 600
+    levels = np.ones((h, w), np.int32)
+    mask = np.ones((h, w), np.uint8)
+    feats = T.glrlm_features(jnp.asarray(levels), jnp.asarray(mask),
+                             jnp.asarray(1, jnp.int32))
+    # horizontal angle: 4 runs of length 600.  RunLengthNonUniformity for
+    # that angle = (4²·1)/4 = 4; LongRunEmphasis for it = 600².  The feature
+    # values are averaged over 4 angles — verify via the matrix directly:
+    P = np.asarray(T.glrlm_matrix_for_angle(
+        jnp.asarray(levels), jnp.asarray(mask) > 0, 0, 1, 640))
+    assert P[0, 599] == h  # true length bin, not the saturated top bin
+    assert P.sum() == h
+    assert np.isfinite(float(feats["LongRunEmphasis"]))
+
+
+def test_glrlm_longer_than_max_len_saturates():
+    """Runs longer than max_len land in the top bin (documented truncation)."""
+    levels = np.ones((2, 16), np.int32)
+    mask = np.ones((2, 16), np.uint8)
+    P = np.asarray(T.glrlm_matrix_for_angle(
+        jnp.asarray(levels), jnp.asarray(mask) > 0, 0, 1, 8))
+    assert P[0, 7] == 2 and P.sum() == 2
