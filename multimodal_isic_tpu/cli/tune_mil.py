@@ -2,17 +2,27 @@
 
     python -m multimodal_isic_tpu.cli.tune_mil --config_path config.yml \
         [--model_type mil|graph-mil] [--num_samples 1000] [--max_epochs 200] \
-        [--patience 16] [--patch_df <pkl>]
+        [--patience 16] [--patch_df <pkl>] [--packed auto|always|never]
+
+``--packed auto`` (default) runs the classic-MIL search as vmapped trial
+cohorts with ASHA rungs evaluated inside the packed run — the TPU-native
+form of the reference's fractional-GPU packing + ASHA combination
+(``tune_mil.py:144-149,213-227``).  Graph-MIL's shape-heavy space keeps the
+sequential runner (every trial is its own program anyway).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+import time
 
 import pandas as pd
+import yaml
 
 from ..analysis.bags import build_patient_bags
 from ..hpo import ASHAScheduler, GRAPH_MIL_SPACE, MIL_SPACE, run_search
+from ..hpo.population import POP_KEYS, SHAPE_KEYS, run_population_search
 from ..train.mil import train_graph_mil, train_mil
 from .common import parse_config
 
@@ -31,6 +41,9 @@ def main(argv=None) -> None:
                         default="dataframes_latents/patch_level_latents_train_df.pkl")
     parser.add_argument("--test_patch_df", type=str, default="")
     parser.add_argument("--output_dir", type=str, default="hpo_out")
+    parser.add_argument("--packed", choices=["auto", "always", "never"],
+                        default="auto")
+    parser.add_argument("--cohort_size", type=int, default=8)
     args, rest = parser.parse_known_args(argv)
     config = parse_config(rest)
 
@@ -48,14 +61,47 @@ def main(argv=None) -> None:
                               grace_period=args.grace_period,
                               reduction_factor=args.reduction_factor,
                               max_t=args.max_epochs)
-    out = run_search(trainable, space, data,
-                     num_samples=args.num_samples,
-                     scheduler=scheduler, seed=config["seed"],
-                     max_epochs=args.max_epochs, patience=args.patience,
-                     num_classes=int(config.get("num_classes", 7)),
-                     output_dir=args.output_dir)
-    print("Best config:", out["best_config"])
-    print("Best val_bacc:", out["best_trial"].final["val_bacc"])
+    # the packed path needs the space to split into cohort shape keys +
+    # per-trial continuous keys — true for the classic-MIL space
+    packable = set(space) == set(SHAPE_KEYS) | set(POP_KEYS)
+    use_packed = (args.packed == "always"
+                  or (args.packed == "auto" and packable))
+    if use_packed and not packable:
+        raise SystemExit(f"--packed always: space keys {sorted(space)} do not "
+                         f"split into shape {SHAPE_KEYS} + trial {POP_KEYS}")
+    if use_packed:
+        out = run_population_search(
+            space, data, num_samples=args.num_samples,
+            cohort_size=args.cohort_size, seed=config["seed"],
+            max_epochs=args.max_epochs, patience=args.patience,
+            num_classes=int(config.get("num_classes", 7)),
+            scheduler=scheduler)
+        results = out["results"]
+        best_config = out["best_config"]
+        best_val = float(results["val_bacc"].astype(float).max())
+        if args.output_dir:
+            os.makedirs(args.output_dir, exist_ok=True)
+            stamp = time.strftime("%Y%m%d_%H%M%S")
+            results.to_csv(os.path.join(
+                args.output_dir, f"hpo_results_{stamp}.csv"), index=False)
+            with open(os.path.join(args.output_dir,
+                                   f"best_config_{stamp}.yml"), "w") as f:
+                yaml.safe_dump({"best_config": best_config,
+                                "best_val_bacc": best_val}, f)
+        n_stop = int(results["stopped_early"].astype(bool).sum())
+        print(f"Packed search: {len(results)} trials, "
+              f"{n_stop} ASHA-stopped early, {out['wall_s']:.1f}s")
+        print("Best config:", best_config)
+        print("Best val_bacc:", best_val)
+    else:
+        out = run_search(trainable, space, data,
+                         num_samples=args.num_samples,
+                         scheduler=scheduler, seed=config["seed"],
+                         max_epochs=args.max_epochs, patience=args.patience,
+                         num_classes=int(config.get("num_classes", 7)),
+                         output_dir=args.output_dir)
+        print("Best config:", out["best_config"])
+        print("Best val_bacc:", out["best_trial"].final["val_bacc"])
 
 
 if __name__ == "__main__":

@@ -72,6 +72,13 @@ def _adam_update(g, p, m, v, t, lr, wd, b1=0.9, b2=0.999, eps=1e-8,
     return p + decay - lr * m_hat / (jnp.sqrt(v_hat) + eps), m, v
 
 
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
 def train_mil_population(
     shape_config: Dict,
     pop: Dict[str, np.ndarray],
@@ -81,19 +88,37 @@ def train_mil_population(
     patience: int = 8,
     max_epochs: int = 50,
     report_fn=None,
+    scheduler=None,
+    trial_ids: Optional[Sequence[str]] = None,
 ) -> List[Dict]:
     """Train P AttentionMIL trials in lockstep.  ``pop`` holds per-trial
     'lr'/'weight_decay'/'dropout' arrays [P]; ``shape_config`` the shared
     hidden_dim/att_dim/optimizer.  ``report_fn(trial_idx, metrics_dict)`` is
     called per trial per epoch.  → list of P final-report dicts (the
-    ``_train_core`` contract minus the private params entries, plus them)."""
+    ``_train_core`` contract minus the private params entries, plus them).
+
+    ``scheduler`` (an :class:`..hpo.asha.ASHAScheduler` or anything with its
+    ``on_result(trial_id, epoch, metrics) -> 'continue'|'stop'`` protocol)
+    evaluates rungs per trial per epoch INSIDE the packed run — the
+    reference runs ASHA over its fractional-GPU-packed trials the same way
+    (``tune_mil.py:144-149,213-227``).  Stopped trials (ASHA or patience)
+    are masked out of best-checkpoint tracking immediately, and whenever
+    at most half the cohort is still live the cohort is COMPACTED: live
+    trials are re-packed into a power-of-2-sized vmap program (at most
+    log2(P) recompiles, shape-cached), so early stopping buys wall-clock,
+    not just budget accounting.  Each stopped trial's best checkpoints are
+    snapshotted to host before compaction and the final test evaluation
+    re-assembles the full population."""
     from ..train.mil import pad_bags
 
     P = len(np.asarray(pop["lr"]))
+    P0 = P
     lrs = jnp.asarray(pop["lr"], jnp.float32)
     wds = jnp.asarray(pop["weight_decay"], jnp.float32)
     drops = jnp.asarray(pop["dropout"], jnp.float32)
     decoupled = shape_config.get("optimizer", "adam") == "adamw"
+    if trial_ids is None:
+        trial_ids = [f"t{t:03d}" for t in range(P)]
 
     rng = np.random.RandomState(seed)
     train_feats = [np.asarray(a, np.float32) for a in data["train_feats"]]
@@ -128,7 +153,7 @@ def train_mil_population(
 
     @jax.jit
     def train_epoch(params, m_state, v_state, step0, feats, valid, labels,
-                    epoch_key):
+                    epoch_key, lrs, wds, drops, tidx):
         n = feats.shape[0]
         keys = jax.random.split(epoch_key, n)
 
@@ -136,7 +161,9 @@ def train_mil_population(
             params, m_state, v_state, step = carry
             x, vmask, y, key = inp
             step = step + 1
-            trial_keys = jax.random.split(key, P)
+            # keys derive from the trial's ORIGINAL index so a trial's
+            # dropout stream survives cohort compaction
+            trial_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(tidx)
 
             def one(p, mm, vv, lr, wd, drop, tkey):
                 def loss_fn(pp):
@@ -181,85 +208,164 @@ def train_mil_population(
         probs = eval_pop(params, feats, valid)
         y = jnp.asarray(labels)
         out = []
-        for t in range(P):
+        for t in range(probs.shape[0]):
             losses = jax.vmap(mil_loss)(probs[t], y)
             mt = M.evaluate_probs(y, probs[t], num_classes, loss=losses.mean())
             out.append({k: float(v) for k, v in mt.items()})
         return out
 
-    best_bacc = np.full(P, -np.inf)
-    best_loss = np.full(P, np.inf)
+    # per-ORIGINAL-trial bookkeeping (host side, survives compaction)
+    best_bacc = np.full(P0, -np.inf)
+    best_loss = np.full(P0, np.inf)
+    best_bacc_metrics: List[Optional[Dict]] = [None] * P0
+    best_loss_metrics: List[Optional[Dict]] = [None] * P0
+    no_improve = np.zeros(P0, int)
+    stopped = np.zeros(P0, bool)
+    asha_stopped = np.zeros(P0, bool)
+    epochs_run = np.zeros(P0, int)
+    host_bacc_params: List[Optional[Dict]] = [None] * P0  # snapshots of
+    host_loss_params: List[Optional[Dict]] = [None] * P0  # compacted-out trials
+
+    # device-side cohort state; ``orig`` maps cohort position -> original id
     best_bacc_params = params
     best_loss_params = params
-    best_bacc_metrics: List[Optional[Dict]] = [None] * P
-    best_loss_metrics: List[Optional[Dict]] = [None] * P
-    no_improve = np.zeros(P, int)
-    stopped = np.zeros(P, bool)
+    orig = np.arange(P0)
+    tidx = jnp.arange(P0, dtype=jnp.int32)
     step0 = jnp.zeros((), jnp.int32)
     tr_feats_d = jnp.asarray(tr_feats)
     tr_valid_d = jnp.asarray(tr_valid)
 
+    def snapshot(t_pos):
+        """Host-copy one cohort member's best checkpoints."""
+        take = lambda tree: jax.tree_util.tree_map(
+            lambda a: np.asarray(a[t_pos]), tree)
+        return take(best_bacc_params), take(best_loss_params)
+
+    def compact(keep_pos):
+        """Re-pack live cohort members into a smaller vmap program (padded
+        to a power of two with copies of the first live trial, masked out of
+        all bookkeeping via phantom=True)."""
+        nonlocal params, m_state, v_state, best_bacc_params, best_loss_params
+        nonlocal lrs, wds, drops, orig, tidx, phantom
+        p_new = _next_pow2(len(keep_pos))
+        pad = [keep_pos[0]] * (p_new - len(keep_pos))
+        sel = np.asarray(list(keep_pos) + pad, np.int32)
+        take = lambda tree: jax.tree_util.tree_map(lambda a: a[sel], tree)
+        params, m_state, v_state = take(params), take(m_state), take(v_state)
+        best_bacc_params, best_loss_params = (take(best_bacc_params),
+                                              take(best_loss_params))
+        lrs, wds, drops = lrs[sel], wds[sel], drops[sel]
+        tidx = tidx[sel]
+        orig = orig[sel]
+        phantom = np.zeros(p_new, bool)
+        phantom[len(keep_pos):] = True
+
+    phantom = np.zeros(P0, bool)
     for epoch in range(1, max_epochs + 1):
         order = weighted_sample_indices(tr_labels, None, rng)
         params, m_state, v_state, step0, _ = train_epoch(
             params, m_state, v_state, step0, tr_feats_d[order],
             tr_valid_d[order], tr_labels[order],
-            jax.random.fold_in(jax.random.PRNGKey(seed), epoch))
+            jax.random.fold_in(jax.random.PRNGKey(seed), epoch),
+            lrs, wds, drops, tidx)
 
         vm = eval_metrics(params, va_feats, va_valid, va_labels)
+        p_now = len(orig)
         bacc = np.array([m["bacc"] for m in vm])
         loss = np.array([m["loss"] for m in vm])
-        improved_b = bacc > best_bacc + 1e-6
-        improved_l = loss < best_loss - 1e-6
-        best_bacc_params = select(jnp.asarray(improved_b & ~stopped), params,
+        live = ~stopped[orig] & ~phantom
+        improved_b = (bacc > best_bacc[orig] + 1e-6) & live
+        improved_l = (loss < best_loss[orig] - 1e-6) & live
+        best_bacc_params = select(jnp.asarray(improved_b), params,
                                   best_bacc_params)
-        best_loss_params = select(jnp.asarray(improved_l & ~stopped), params,
+        best_loss_params = select(jnp.asarray(improved_l), params,
                                   best_loss_params)
-        for t in range(P):
-            if stopped[t]:
+        for pos in range(p_now):
+            t = orig[pos]
+            if stopped[t] or phantom[pos]:
                 continue
-            if improved_b[t]:
-                best_bacc[t] = bacc[t]
-                best_bacc_metrics[t] = vm[t]
+            epochs_run[t] = epoch
+            if improved_b[pos]:
+                best_bacc[t] = bacc[pos]
+                best_bacc_metrics[t] = vm[pos]
                 no_improve[t] = 0
             else:
                 no_improve[t] += 1
-            if improved_l[t]:
-                best_loss[t] = loss[t]
-                best_loss_metrics[t] = vm[t]
+            if improved_l[pos]:
+                best_loss[t] = loss[pos]
+                best_loss_metrics[t] = vm[pos]
             if report_fn is not None:
-                report_fn(t, {f"val_{k}": vm[t][k] for k in
+                report_fn(t, {f"val_{k}": vm[pos][k] for k in
                               ("bacc", "acc", "auc", "loss", "macro_p",
                                "macro_r", "macro_f1", "weighted_p",
                                "weighted_r", "weighted_f1")})
             if no_improve[t] >= patience:
                 stopped[t] = True
-        if stopped.all():
+            if not stopped[t] and scheduler is not None:
+                decision = scheduler.on_result(
+                    trial_ids[t], epoch,
+                    {"val_bacc": vm[pos]["bacc"], "val_loss": vm[pos]["loss"]})
+                if decision == "stop":
+                    stopped[t] = True
+                    # reaching max_t also reports "stop" — that's a completed
+                    # trial, not an early stop
+                    asha_stopped[t] = epoch < max_epochs
+        live_pos = [pos for pos in range(p_now)
+                    if not stopped[orig[pos]] and not phantom[pos]]
+        if not live_pos:
             break
+        # snapshot + compact once at most half the cohort is live (power-of-2
+        # sizes bound recompiles at log2(P))
+        if _next_pow2(len(live_pos)) <= p_now // 2:
+            for pos in range(p_now):
+                t = orig[pos]
+                if (stopped[t] and not phantom[pos]
+                        and host_bacc_params[t] is None):
+                    host_bacc_params[t], host_loss_params[t] = snapshot(pos)
+            compact(live_pos)
 
-    for t in range(P):
+    for t in range(P0):
         if best_bacc_metrics[t] is None:
-            best_bacc_metrics[t] = eval_metrics(params, va_feats, va_valid,
-                                                va_labels)[t]
+            pos = int(np.where(orig == t)[0][0]) if t in orig else None
+            vm_all = eval_metrics(params, va_feats, va_valid, va_labels)
+            best_bacc_metrics[t] = (vm_all[pos] if pos is not None
+                                    else {"bacc": float("nan"),
+                                          "acc": float("nan"),
+                                          "auc": float("nan"),
+                                          "loss": float("nan"),
+                                          "macro_f1": float("nan"),
+                                          "weighted_f1": float("nan")})
         if best_loss_metrics[t] is None:
             best_loss_metrics[t] = best_bacc_metrics[t]
 
-    test_bacc_metrics = test_loss_metrics = [None] * P
+    test_bacc_metrics = test_loss_metrics = [None] * P0
     if len(test_feats) and len(test_labels):
+        # re-assemble the FULL population's best checkpoints (device state
+        # for surviving trials, host snapshots for compacted-out ones)
+        for pos in range(len(orig)):
+            t = orig[pos]
+            if not phantom[pos] and host_bacc_params[t] is None:
+                host_bacc_params[t], host_loss_params[t] = snapshot(pos)
+        stack = lambda trees: jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)
+        full_bacc = stack([host_bacc_params[t] for t in range(P0)])
+        full_loss = stack([host_loss_params[t] for t in range(P0)])
         te_feats, te_valid = pad_bags(test_feats, max_n)
         te_feats, te_valid = jnp.asarray(te_feats), jnp.asarray(te_valid)
-        test_bacc_metrics = eval_metrics(best_bacc_params, te_feats, te_valid,
+        test_bacc_metrics = eval_metrics(full_bacc, te_feats, te_valid,
                                          test_labels)
-        test_loss_metrics = eval_metrics(best_loss_params, te_feats, te_valid,
+        test_loss_metrics = eval_metrics(full_loss, te_feats, te_valid,
                                          test_labels)
 
     reports = []
-    for t in range(P):
+    for t in range(P0):
         vm = best_bacc_metrics[t]
         rep = {"val_bacc": float(max(best_bacc[t], vm["bacc"])),
                "val_acc": vm["acc"], "val_auc": vm["auc"], "val_loss": vm["loss"],
                "val_macro_f1": vm["macro_f1"],
-               "val_weighted_f1": vm["weighted_f1"]}
+               "val_weighted_f1": vm["weighted_f1"],
+               "epochs_run": int(epochs_run[t]),
+               "stopped_early": bool(asha_stopped[t])}
         if test_bacc_metrics[t] is not None:
             tb = test_bacc_metrics[t]
             rep.update({"test_bacc": tb["bacc"], "test_acc": tb["acc"],
@@ -287,13 +393,19 @@ def run_population_search(
     patience: int = 8,
     num_classes: int = 7,
     verbose: bool = True,
+    scheduler=None,
 ) -> Dict:
     """Cohorted search: shape keys are sampled once per cohort (so each
     cohort is a single vmapped program), continuous keys per trial.  Search
     breadth over the continuous keys matches the sequential runner; breadth
     over shape keys is num_samples/cohort_size — the price of packing, the
     same trade the reference makes by capping concurrent trials per GPU.
-    → {best_config, results (list of rows), wall_s}."""
+
+    ``scheduler`` (ASHAScheduler) is SHARED across cohorts: rung cutoffs
+    compare every trial seen so far, exactly like Ray's asynchronous rungs
+    across its packed fractional-GPU workers (``tune_mil.py:144-149``).
+    → {best_config, results (DataFrame incl. epochs_run / stopped_early),
+    wall_s}."""
     import pandas as pd
 
     rng = np.random.RandomState(seed)
@@ -307,7 +419,9 @@ def run_population_search(
         pop = {k: np.array([cfg[k] for cfg in full]) for k in POP_KEYS}
         reports = train_mil_population(
             shape_config, pop, data, seed=seed, num_classes=num_classes,
-            patience=patience, max_epochs=max_epochs)
+            patience=patience, max_epochs=max_epochs,
+            scheduler=scheduler,
+            trial_ids=[f"cohort{c:03d}_t{t:02d}" for t in range(P)])
         for t, rep in enumerate(reports):
             cfg = {**shape_config, **{k: float(pop[k][t]) for k in POP_KEYS}}
             row = {"trial_id": f"cohort{c:03d}_t{t:02d}",

@@ -80,12 +80,30 @@ def test_mil_cli_chain(workspace, rng):
     patch_df_path = str(root / "patches.pkl")
     pd.DataFrame(rows).to_pickle(patch_df_path)
 
+    # --packed auto routes the classic-MIL space through the vmapped
+    # cohort engine with ASHA rungs evaluated inside the packed run
     tune_mil.main(["--config_path", cfg, "--model_type", "mil",
                    "--num_samples", "2", "--max_epochs", "2",
                    "--patience", "2", "--grace_period", "1",
                    "--patch_df", patch_df_path,
                    "--output_dir", str(root / "hpo")])
     assert any(f.startswith("best_config_") for f in os.listdir(root / "hpo"))
+    res_csv = [f for f in os.listdir(root / "hpo")
+               if f.startswith("hpo_results_")]
+    assert res_csv
+    res = pd.read_csv(root / "hpo" / res_csv[0])
+    assert {"stopped_early", "epochs_run", "val_bacc"} <= set(res.columns)
+    assert len(res) == 2
+
+    # the sequential runner remains reachable
+    tune_mil.main(["--config_path", cfg, "--model_type", "mil",
+                   "--num_samples", "1", "--max_epochs", "2",
+                   "--patience", "2", "--grace_period", "1",
+                   "--packed", "never",
+                   "--patch_df", patch_df_path,
+                   "--output_dir", str(root / "hpo_seq")])
+    assert any(f.startswith("best_config_")
+               for f in os.listdir(root / "hpo_seq"))
 
     use_latent.main(["--config_path", cfg, "--model_type", "mil",
                      "--patch_df", patch_df_path, "--n_folds", "2",
