@@ -31,6 +31,10 @@ from .common import parse_config
 
 
 def main(argv=None) -> None:
+    # join the multi-host runtime when ISIC_COORDINATOR/... are set (TPU
+    # pods auto-detect); a no-op single-process otherwise
+    from ..parallel import distributed as dist
+    dist.initialize()
     config = parse_config(argv)
     plan = config["training_plan"]
     params_cfg = plan["parameters"]

@@ -30,6 +30,10 @@ from .common import parse_config
 
 
 def main(argv=None) -> None:
+    # join the multi-host runtime when ISIC_COORDINATOR/... are set (TPU
+    # pods auto-detect); a no-op single-process otherwise
+    from ..parallel import distributed as dist
+    dist.initialize()
     config = parse_config(argv)
     params_cfg = config["training_plan"]["parameters"]
     seed = config["seed"]

@@ -5,3 +5,10 @@ from .sharding import (  # noqa: F401
     shard_batch,
     pad_to_multiple,
 )
+from .distributed import (  # noqa: F401
+    global_mesh,
+    host_local_batch_to_global,
+    initialize,
+    is_coordinator,
+    process_local_rows,
+)

@@ -1,0 +1,145 @@
+"""Multi-host (multi-process) distributed runtime — the ``jax.distributed`` +
+ICI/DCN slot of SURVEY.md §2.3.
+
+The reference has NO cross-process training path at all: its only
+inter-process channel is Ray's object store for HPO trials
+(``tune_mil.py:142,243``) and a ``multiprocessing.Pool`` for radiomics
+(``RadiomicExtractor.py:58-71``).  This module supplies the TPU-native story
+the build commits to: each host process calls :func:`initialize` once, after
+which the ``jax.sharding.Mesh`` built by :func:`global_mesh` spans every chip
+of every host; gradient all-reduces ride ICI inside a slice and DCN across
+hosts, inserted by XLA from the same sharding annotations the single-process
+path uses — model/train-step code does not change at all.
+
+Input pipeline contract: each process loads only its own shard of the batch
+(e.g. ``DeviceLoader`` over a per-host split of the manifest) and
+:func:`host_local_batch_to_global` assembles the global sharded arrays with
+``jax.make_array_from_process_local_data``.
+
+On TPU pods ``jax.distributed.initialize()`` discovers the topology from the
+environment; on CPU (tests, the virtual multi-host harness) collectives go
+through Gloo over localhost.  A 2-process integration test proves a DP train
+step across processes equals the single-process step
+(``tests/test_distributed.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from .sharding import DATA_AXIS, MODEL_AXIS, data_sharding
+
+# env plumbing (set by the launcher / scheduler):
+ENV_COORD = "ISIC_COORDINATOR"      # e.g. "10.0.0.1:8476"
+ENV_NPROC = "ISIC_NUM_PROCESSES"
+ENV_PID = "ISIC_PROCESS_ID"
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Join (or create) the distributed runtime.  Explicit args win, then the
+    ``ISIC_*`` env vars, then jax's own auto-detection (TPU pods, SLURM).
+    Returns True if a multi-process runtime was initialized, False when
+    running single-process (no coordinator configured anywhere).
+
+    Idempotent: calling again after initialization is a no-op (True).
+    """
+    # do NOT probe jax.process_count() here — that initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run
+    try:
+        from jax._src.distributed import global_state
+        if global_state.client is not None:
+            return True
+    except Exception:
+        pass
+    coordinator_address = coordinator_address or os.environ.get(ENV_COORD)
+    if num_processes is None and os.environ.get(ENV_NPROC):
+        num_processes = int(os.environ[ENV_NPROC])
+    if process_id is None and os.environ.get(ENV_PID):
+        process_id = int(os.environ[ENV_PID])
+    if coordinator_address is None and num_processes is None:
+        # TPU pod / cluster auto-detection still applies when the
+        # environment provides it; otherwise stay single-process.
+        try:
+            jax.distributed.initialize()
+            return jax.process_count() > 1
+        except Exception:
+            return False
+    # CPU cross-process collectives need an explicit transport; harmless on
+    # TPU (the config is only consulted by the CPU client).  Don't probe
+    # jax.default_backend() here — it would initialize the backend first.
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def is_coordinator() -> bool:
+    """True on the process that should write checkpoints/logs (rank 0)."""
+    return jax.process_index() == 0
+
+
+def global_mesh(n_model: int = 1) -> "jax.sharding.Mesh":
+    """(data, model) mesh over EVERY device of every process.  Device order
+    follows ``jax.devices()`` (process-major), so the data axis puts each
+    process's local devices on contiguous rows — per-host input shards map
+    onto their own chips and batch traffic stays off DCN."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices())
+    if len(devices) % n_model:
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"model={n_model}")
+    return Mesh(devices.reshape(-1, n_model), (DATA_AXIS, MODEL_AXIS))
+
+
+def host_local_batch_to_global(mesh, batch: Dict):
+    """Assemble a pytree of PER-PROCESS batch shards into global arrays
+    sharded over ``data``.  Each process passes only its local rows (global
+    batch = num_processes × local rows, stacked in process order); no
+    cross-host copies happen — every shard lands on its own host's devices.
+
+    The multi-host analogue of ``shard_batch`` (which device_puts a fully
+    host-resident batch on a single-process mesh)."""
+    def place(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh, ndim=x.ndim), x)
+    return jax.tree_util.tree_map(place, batch)
+
+
+def process_local_rows(n_global: int) -> slice:
+    """The [start, stop) row slice of a length-``n_global`` global batch this
+    process should load (process-contiguous, matching
+    :func:`host_local_batch_to_global`'s stacking order)."""
+    nproc = jax.process_count()
+    if n_global % nproc:
+        raise ValueError(f"global batch {n_global} not divisible by "
+                         f"{nproc} processes")
+    per = n_global // nproc
+    start = jax.process_index() * per
+    return slice(start, start + per)
+
+
+def all_processes_equal(value: float, atol: float = 0.0) -> bool:
+    """Cheap cross-process agreement check (coordination-service barrier via
+    an all-gather of one scalar) — a debugging aid for divergence hunts."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = global_mesh()
+    local = np.full((jax.local_device_count(), 1), value, np.float32)
+    garr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(DATA_AXIS)), local)
+    gathered = np.asarray(jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh, P()))(garr))
+    return bool(np.all(np.abs(gathered - gathered[0]) <= atol))

@@ -1,0 +1,154 @@
+"""Multi-host (multi-process) DP correctness: a train step sharded across
+TWO OS processes (4 virtual CPU devices each, Gloo collectives over
+localhost) must equal the same step run single-process — proving the
+``jax.distributed`` + per-process input sharding path of SURVEY.md §2.3.
+
+The reference has no cross-process training at all (Ray's object store is
+its only inter-process channel, ``tune_mil.py:142,243``); this is the
+build's first-class replacement for that slot.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+outdir = sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["ISIC_COORDINATOR"] = f"127.0.0.1:{port}"
+os.environ["ISIC_NUM_PROCESSES"] = str(nproc)
+os.environ["ISIC_PROCESS_ID"] = str(pid)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from multimodal_isic_tpu.parallel import distributed as D
+assert D.initialize(), "distributed init failed"
+assert jax.process_count() == nproc
+import jax.numpy as jnp
+import numpy as np
+from multimodal_isic_tpu.models.mil import AttentionMIL, mil_loss
+from multimodal_isic_tpu.core.optim import sgd
+from multimodal_isic_tpu.core.train_state import TrainState
+from multimodal_isic_tpu.parallel import replicated
+
+mesh = D.global_mesh()
+assert mesh.devices.shape[0] == 8  # 2 processes x 4 local devices
+
+rng = np.random.RandomState(0)
+mil = AttentionMIL(input_dim=12, hidden_dim=16, att_dim=8, num_classes=3)
+N_GLOBAL = 16
+feats = rng.randn(N_GLOBAL, 10, 12).astype(np.float32)
+valid = np.ones((N_GLOBAL, 10), bool)
+labels = rng.randint(0, 3, N_GLOBAL)
+params = mil.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)},
+                  jnp.asarray(feats[0]), valid=jnp.asarray(valid[0]))["params"]
+
+# each process loads ONLY its own rows — the per-host input-sharding contract
+rows = D.process_local_rows(N_GLOBAL)
+batch = D.host_local_batch_to_global(
+    mesh, {"x": feats[rows], "v": valid[rows], "y": labels[rows]})
+p = jax.device_put(params, replicated(mesh))
+state = TrainState.create(p, sgd(1e-2), jax.random.PRNGKey(1))
+
+@jax.jit
+def step(state, b):
+    def mean_loss(pp):
+        return jnp.mean(jax.vmap(
+            lambda x, vv, yy: mil_loss(
+                mil.apply({"params": pp}, x, valid=vv, train=False)[0],
+                yy))(b["x"], b["v"], b["y"]))
+    loss, grads = jax.value_and_grad(mean_loss)(state.params)
+    return state.apply_gradients(grads, sgd(1e-2)), loss
+
+state, loss = step(state, batch)
+loss = float(loss)
+assert D.all_processes_equal(loss), "processes disagree on the loss"
+if D.is_coordinator():
+    flat = [np.asarray(x) for x in jax.tree_util.tree_leaves(
+        jax.device_get(state.params))]
+    np.savez(os.path.join(outdir, "result.npz"), loss=loss,
+             **{f"p{i}": a for i, a in enumerate(flat)})
+print(f"proc {pid}: loss={loss:.6f} OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_equals_single_process(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+
+    env = {**os.environ,
+           "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", str(port),
+         str(tmp_path)], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    dist = np.load(tmp_path / "result.npz")
+
+    # single-process baseline on this (8-device) test process
+    from multimodal_isic_tpu.core.optim import sgd
+    from multimodal_isic_tpu.core.train_state import TrainState
+    from multimodal_isic_tpu.models.mil import AttentionMIL, mil_loss
+    from multimodal_isic_tpu.parallel import make_mesh, replicated, shard_batch
+
+    rng = np.random.RandomState(0)
+    mil = AttentionMIL(input_dim=12, hidden_dim=16, att_dim=8, num_classes=3)
+    feats = rng.randn(16, 10, 12).astype(np.float32)
+    valid = np.ones((16, 10), bool)
+    labels = rng.randint(0, 3, 16)
+    params = mil.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)},
+                      jnp.asarray(feats[0]),
+                      valid=jnp.asarray(valid[0]))["params"]
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    p = jax.device_put(params, replicated(mesh1))
+    state = TrainState.create(p, sgd(1e-2), jax.random.PRNGKey(1))
+    batch = shard_batch(mesh1, {"x": feats, "v": valid, "y": labels})
+
+    @jax.jit
+    def step(state, b):
+        def mean_loss(pp):
+            return jnp.mean(jax.vmap(
+                lambda x, vv, yy: mil_loss(
+                    mil.apply({"params": pp}, x, valid=vv, train=False)[0],
+                    yy))(b["x"], b["v"], b["y"]))
+        loss, grads = jax.value_and_grad(mean_loss)(state.params)
+        return state.apply_gradients(grads, sgd(1e-2)), loss
+
+    state, loss = step(state, batch)
+    np.testing.assert_allclose(float(loss), float(dist["loss"]), rtol=1e-5)
+    flat = [np.asarray(x) for x in jax.tree_util.tree_leaves(
+        jax.device_get(state.params))]
+    for i, a in enumerate(flat):
+        np.testing.assert_allclose(
+            a, dist[f"p{i}"], rtol=1e-5, atol=1e-7,
+            err_msg=f"param leaf {i} differs between 2-process and "
+                    f"single-process DP step")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
