@@ -16,6 +16,12 @@ equivalents rather than ports:
   below ``min_cluster_size`` and low-density points become the ``-1`` noise
   label, which the purity pipeline already excludes like HDBSCAN's
   (``analysis/cluster.py``).
+- :func:`hdbscan_cluster` — the full hierarchical/stability semantics: one
+  vmapped connected-components sweep over a ladder of density levels (the
+  TPU-friendly stand-in for a mutual-reachability MST), then condensed-tree
+  construction and excess-of-mass cluster selection on host — per-cluster
+  density levels chosen by stability, exactly the rule HDBSCAN applies
+  (``cluster_latents.py:32``: HDBSCAN(min_cluster_size=50, min_samples=10)).
 """
 
 from __future__ import annotations
@@ -215,3 +221,145 @@ def density_cluster(x: np.ndarray, min_cluster_size: int = 50,
             out[label == u] = next_id
             next_id += 1
     return out
+
+
+# ------------------------------------------- hierarchical (HDBSCAN) variant
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def _labels_at_levels(nbr, dist, core, eps_levels, n_iters: int):
+    """Connected-component labels of the mutual-reachability graph at every
+    eps in ``eps_levels`` → [L, N].  One vmap over levels: the kNN structure
+    is shared, only the edge mask changes, so all L labelings run as one
+    batched program on device."""
+    mreach = jnp.maximum(dist, jnp.maximum(core[:, None], core[nbr]))
+
+    def at_eps(eps):
+        is_core = core <= eps
+        edge_ok = (mreach <= eps) & is_core[:, None] & is_core[nbr]
+        lab = _connected_components(nbr, edge_ok, n_iters)
+        return jnp.where(is_core, lab, -1)
+
+    return jax.vmap(at_eps)(eps_levels)
+
+
+def _condense_and_select(levels_labels: np.ndarray, lam: np.ndarray,
+                         min_cluster_size: int,
+                         allow_single_cluster: bool = False) -> np.ndarray:
+    """Condensed tree + excess-of-mass selection over discrete density levels.
+
+    ``levels_labels[l]`` are component labels at level ``l`` (coarse → fine,
+    ``lam`` = 1/eps strictly increasing); a cluster node persists while it
+    keeps ≥ ``min_cluster_size`` points and splits only when ≥ 2 children
+    clear that bar (HDBSCAN's condensed-tree rule).  Node stability
+    accumulates Σ |alive members| · Δλ; a parent is selected iff its own
+    stability beats the summed selected-stability of its children."""
+    n_levels, n = levels_labels.shape
+
+    # ---- build nodes: birth members, per-level alive counts, children
+    nodes = []  # dict(parent, birth_level, members, alive_hist=[(level,count)])
+    cur = np.full(n, -1, np.int64)       # point -> node id
+    roots = []
+    for comp in np.unique(levels_labels[0]):
+        if comp < 0:
+            continue
+        members = np.where(levels_labels[0] == comp)[0]
+        if len(members) < min_cluster_size:
+            continue
+        nodes.append({"parent": -1, "birth": 0, "members": members,
+                      "children": [], "stab": 0.0})
+        cur[members] = len(nodes) - 1
+        roots.append(len(nodes) - 1)
+
+    for l in range(1, n_levels):
+        dlam = lam[l] - lam[l - 1]
+        lab = levels_labels[l]
+        for nid in [i for i in np.unique(cur) if i >= 0]:
+            pts = np.where(cur == nid)[0]
+            nodes[nid]["stab"] += len(pts) * dlam  # alive over [λ_{l-1}, λ_l)
+            sub = lab[pts]
+            comps, counts = np.unique(sub[sub >= 0], return_counts=True)
+            big = comps[counts >= min_cluster_size]
+            if len(big) >= 2:               # true split: node dies here
+                for comp in big:
+                    members = pts[sub == comp]
+                    nodes.append({"parent": nid, "birth": l,
+                                  "members": members, "children": [],
+                                  "stab": 0.0})
+                    cid = len(nodes) - 1
+                    nodes[nid]["children"].append(cid)
+                    cur[members] = cid
+                cur[pts[~np.isin(sub, big)]] = -1   # fall-outs
+            elif len(big) == 1:             # continuation; shed fall-outs
+                cur[pts[sub != big[0]]] = -1
+            else:                           # node evaporates
+                cur[pts] = -1
+
+    if not nodes:
+        return np.full(n, -1, int)
+
+    # ---- excess-of-mass selection (children processed before parents)
+    selected = np.zeros(len(nodes), bool)
+    sel_stab = np.zeros(len(nodes))
+    for nid in range(len(nodes) - 1, -1, -1):
+        node = nodes[nid]
+        child_sum = sum(sel_stab[c] for c in node["children"])
+        # HDBSCAN's allow_single_cluster=False: a lone root is never selected
+        # (its points are noise unless a selected descendant claims them)
+        root_barred = (node["parent"] == -1 and len(roots) == 1
+                       and not allow_single_cluster)
+        if root_barred or (node["children"] and node["stab"] <= child_sum):
+            sel_stab[nid] = child_sum     # keep the children (possibly none)
+        else:
+            sel_stab[nid] = node["stab"]
+            selected[nid] = True
+            # deselect all descendants
+            stack = list(node["children"])
+            while stack:
+                c = stack.pop()
+                selected[c] = False
+                stack.extend(nodes[c]["children"])
+
+    out = np.full(n, -1, int)
+    next_id = 0
+    for nid in range(len(nodes)):
+        if selected[nid]:
+            out[nodes[nid]["members"]] = next_id
+            next_id += 1
+    return out
+
+
+def hdbscan_cluster(x: np.ndarray, min_cluster_size: int = 50,
+                    min_samples: int = 10, n_levels: int = 24,
+                    k: Optional[int] = None, metric: str = "euclidean",
+                    allow_single_cluster: bool = False) -> np.ndarray:
+    """Hierarchical density clustering → labels [N] with -1 noise.
+
+    The reference's cuML ``HDBSCAN(min_cluster_size=50, min_samples=10)``
+    (``cluster_latents.py:32``), built TPU-first: instead of a sequential
+    single-linkage MST, the density hierarchy is materialised as connected
+    components at ``n_levels`` geometrically spaced eps levels — one vmapped
+    batched program — and HDBSCAN's condensed-tree / excess-of-mass stability
+    selection then picks a per-cluster density level on host.  Two-density
+    data where any single eps either merges the dense pair or drops the
+    sparse cluster is resolved correctly (tested).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    kk = k or max(min_samples + 1, 16)
+    nbr, dist = knn_graph(x, min(kk, n - 1), metric)
+    core = dist[:, min(min_samples, dist.shape[1]) - 1]
+
+    core_np = np.asarray(core)
+    # geometric eps ladder spanning every core-distance scale in the data:
+    # coarsest level connects nearly everything (root), finest sits below
+    # the densest cluster's working level
+    lo = max(float(np.quantile(core_np, 0.05)), 1e-6)
+    hi = max(float(core_np.max()) * 1.5, lo * 2.0)
+    eps_levels = np.geomspace(hi, lo, n_levels).astype(np.float32)
+
+    n_iters = max(8, int(np.ceil(np.log2(max(n, 2)))) * 4)
+    labels = np.asarray(_labels_at_levels(nbr, dist, core,
+                                          jnp.asarray(eps_levels), n_iters))
+    lam = 1.0 / eps_levels  # increasing: coarse → fine
+    return _condense_and_select(labels, lam, min_cluster_size,
+                                allow_single_cluster)

@@ -35,8 +35,12 @@ def main(argv=None) -> None:
                         default="dataframes_latents/patch_level_latents_train_df.pkl")
     parser.add_argument("--k", type=int, default=20)
     parser.add_argument("--out", type=str, default="df_filtered.pkl")
-    parser.add_argument("--clusterer", choices=["kmeans", "density"],
-                        default="kmeans")
+    parser.add_argument("--clusterer",
+                        choices=["kmeans", "density", "density-flat"],
+                        default="kmeans",
+                        help="density = hierarchical stability selection "
+                             "(HDBSCAN semantics); density-flat = single-eps "
+                             "DBSCAN* approximation")
     parser.add_argument("--embed", choices=["pca", "neighbor"], default="pca")
     parser.add_argument("--min_cluster_size", type=int, default=50)
     parser.add_argument("--min_samples", type=int, default=10)
@@ -62,10 +66,11 @@ def main(argv=None) -> None:
     print(f"Trustworthiness of the {args.embed} embedding: "
           f"{C.trustworthiness(x, emb20):.4f}")
 
-    if args.clusterer == "density":
-        clusters = E.density_cluster(emb20,
-                                     min_cluster_size=args.min_cluster_size,
-                                     min_samples=args.min_samples)
+    if args.clusterer in ("density", "density-flat"):
+        fn = (E.hdbscan_cluster if args.clusterer == "density"
+              else E.density_cluster)
+        clusters = fn(emb20, min_cluster_size=args.min_cluster_size,
+                      min_samples=args.min_samples)
         n_noise = int((clusters == -1).sum())
         print(f"Number of clusters found: "
               f"{len(np.unique(clusters[clusters >= 0]))} "
