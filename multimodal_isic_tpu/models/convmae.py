@@ -316,10 +316,13 @@ class ConvMAE(nn.Module):
 
 
 def convmae_convvit_base_patch16_dec512d8b(norm_pix_loss: bool = False,
-                                           with_decoder: bool = True) -> ConvMAE:
+                                           with_decoder: bool = True,
+                                           dtype=jnp.float32) -> ConvMAE:
     """Constructor named for discoverability against the reference import
-    (``train_ae.py:25``)."""
-    return ConvMAE(norm_pix_loss=norm_pix_loss, with_decoder=with_decoder)
+    (``train_ae.py:25``).  ``dtype=jnp.bfloat16`` = mixed-precision compute
+    with fp32 params (the measured TPU training/serving configuration)."""
+    return ConvMAE(norm_pix_loss=norm_pix_loss, with_decoder=with_decoder,
+                   dtype=dtype)
 
 
 # --------------------------------------------------- torch weight porting

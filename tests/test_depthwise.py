@@ -55,6 +55,26 @@ def test_depthwise_matches_xla_forward_and_grads(k, stride, h, w_, c, padding):
                                atol=1e-5)
 
 
+def test_depthwise_vjp_backend_switch_both_paths_agree():
+    """use_custom_vjp=None resolves per backend (custom on CPU, XLA-native on
+    TPU — measured 712 vs 516 img/s for the B3 train step); forcing either
+    path must give identical grads."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 10, 10, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 1, 5).astype(np.float32))
+
+    def loss(force):
+        return jax.grad(lambda xx, ww: jnp.sum(jnp.sin(
+            depthwise_conv2d(xx, ww, 1, "SAME", use_custom_vjp=force))),
+            argnums=(0, 1))(x, w)
+
+    (gx_c, gw_c), (gx_n, gw_n) = loss(True), loss(False)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_n),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_n),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_same_pads_matches_lax():
     for n in (7, 8, 15, 64):
         for k in (3, 5):
