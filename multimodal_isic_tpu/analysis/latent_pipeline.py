@@ -55,9 +55,11 @@ def extract_latent_bundle(model: ConvMAE, params, loader,
     for batch in loader:
         latent, ids_restore = step(params, batch["image"])
         mx, mn, ov = pool_and_overlap(latent, batch["mask"])
-        lat.append(np.asarray(latent))
-        pmax.append(np.asarray(mx))
-        pmean.append(np.asarray(mn))
+        # latents land as the model's compute dtype (bf16 under the default
+        # mixed-precision config); downstream frames/statistics stay f32
+        lat.append(np.asarray(latent, dtype=np.float32))
+        pmax.append(np.asarray(mx, dtype=np.float32))
+        pmean.append(np.asarray(mn, dtype=np.float32))
         ids.append(np.asarray(ids_restore))
         overlap.append(np.asarray(ov))
         targets.append(np.asarray(batch["target"]))

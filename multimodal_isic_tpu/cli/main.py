@@ -60,17 +60,23 @@ def main(argv=None) -> None:
     print(f"Val set size: {len(df_val)}")
     print(f"Test set size: {len(df_test)}")
 
+    # image-less modality subsets never read the image branch: skip decode +
+    # the 380×380 augmentation pipeline entirely (metadata-only records)
+    with_image = "image" in plan["modality"]
+    train_tf = augment.POLICIES["fusion_train"] if with_image else None
+    eval_tf = augment.POLICIES["fusion_eval"] if with_image else None
+
     def records(df, rad, idx=None):
         r = rad[idx] if (rad is not None and idx is not None) else rad
-        return DermRecords(df, radiomics=r)
+        return DermRecords(df, radiomics=r, with_image=with_image)
 
     shuffle_rng = pool["shuffle"]
     train_records = records(df_train, radiomics, train_idx)
     loaders = {
         "val": DeviceLoader(records(df_val, radiomics, val_idx), 16,
-                            transform=augment.POLICIES["fusion_eval"]),
+                            transform=eval_tf),
         "test": DeviceLoader(records(df_test, radiomics_test), 16,
-                             transform=augment.POLICIES["fusion_eval"]),
+                             transform=eval_tf),
     }
 
     rad_dim = radiomics.shape[1] if radiomics is not None else 780
@@ -82,8 +88,7 @@ def main(argv=None) -> None:
     logger.assign("group_tags", list(plan["modality"]) + [plan["fusion"]])
     logger.assign("train/current_fold", current_fold)
 
-    first = next(iter(DeviceLoader(train_records, 2,
-                                   transform=augment.POLICIES["fusion_eval"])))
+    first = next(iter(DeviceLoader(train_records, 2, transform=eval_tf)))
     params, batch_stats = init_fusion(model, pool["init"].next(), first)
     optimizer = fusion_optimizer(lr=1e-3, weight_decay=1e-4)
     state = TrainState.create(params, optimizer, pool["train"].next())
@@ -96,8 +101,9 @@ def main(argv=None) -> None:
     for epoch in range(1, params_cfg["epochs"] + 1):
         order = np.random.RandomState(seed + epoch).permutation(len(df_train))
         train_loader = DeviceLoader(train_records, 16, order=order,
-                                    transform=augment.POLICIES["fusion_train"],
-                                    rng_stream=pool["augment"])
+                                    transform=train_tf,
+                                    rng_stream=pool["augment"] if with_image
+                                    else None)
         state, batch_stats, _, _ = train_epoch(
             train_step, state, batch_stats, train_loader, pool["dropout"],
             logger=logger, epoch=epoch)

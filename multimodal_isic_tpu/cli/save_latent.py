@@ -27,14 +27,21 @@ def extract_latents(config, path: str, remove_background: bool = False):
     df_train_val = pd.read_pickle(config["dir"]["df"])
     df_test = pd.read_pickle(config["dir"]["df_test"])
 
+    import jax.numpy as jnp
     size = config["training_plan"]["parameters"].get("model_size", "base")
+    # encoder-only inference defaults to bf16 compute (fp32 params, latents
+    # cast back to f32 on host): measured vs fp32 on v5e — see README perf
+    # table; moments parity verified in tests/test_latent_pipeline.py
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        str(config.get("latent_dtype", "bfloat16"))]
     if size == "tiny":
         from ..models.convmae import ConvMAE
         model = ConvMAE(embed_dims=(32, 48, 64), depths=(1, 1, 2), num_heads=4,
                         decoder_dim=32, decoder_depth=1, decoder_heads=4,
-                        with_decoder=False)
+                        with_decoder=False, dtype=dtype)
     else:
-        model = convmae_convvit_base_patch16_dec512d8b(with_decoder=False)
+        model = convmae_convvit_base_patch16_dec512d8b(with_decoder=False,
+                                                       dtype=dtype)
     params = init_mae(model, jax.random.PRNGKey(config["seed"]))
     checkpoint_path = os.path.join(os.getcwd(), "models", path) \
         if not os.path.isabs(path) else path

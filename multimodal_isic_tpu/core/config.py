@@ -119,6 +119,9 @@ class Config(_DictAccess):
     model_path: str = "models"
     pca: bool = False  # save_latent.py:159
     num_classes: int = 7  # tune_mil.py:244
+    # encoder-only latent extraction compute dtype ('bfloat16' | 'float32');
+    # bf16 is the measured-fastest v5e configuration, latents re-cast to f32
+    latent_dtype: str = "bfloat16"
     training_plan: TrainingPlan = field(default_factory=TrainingPlan)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     # Best-hyperparameter records consumed by the CV harness

@@ -36,10 +36,16 @@ class DermRecords:
     """
 
     def __init__(self, df, radiomics=None, staging_hw=(450, 450),
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None, with_image: bool = True):
         import cv2  # local: host-only dependency
         self._cv2 = cv2
         self.df = df.reset_index(drop=True)
+        # with_image=False = metadata-only records: no decode, no image/mask
+        # keys.  The reference decodes + augments every sample regardless of
+        # the modality subset (dataset.py:21-56); skipping that work for
+        # image-less fusion configs turns the epoch from decode+warp-bound
+        # (~2 s/batch on one core) into pure tabular streaming.
+        self.with_image = with_image
         self.radiomics = None
         if radiomics is not None:
             self.radiomics = np.asarray(radiomics, dtype=np.float32)
@@ -98,6 +104,8 @@ class DermRecords:
         }
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if not self.with_image:
+            return self.metadata(idx)
         row = self.df.iloc[idx]
         image, mask = self.read_image_mask(idx)
         if self.radiomics is not None:
@@ -154,7 +162,8 @@ class DeviceLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        use_native_batch = getattr(self.records, "use_native", False)
+        use_native_batch = (getattr(self.records, "use_native", False)
+                            and getattr(self.records, "with_image", True))
         for start in range(0, len(self.order), self.batch_size):
             idx = self.order[start:start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
@@ -200,6 +209,14 @@ class DeviceLoader:
                     raise error_box[0]
                 return
             batch = dict(item)
+            if "image" not in batch:  # metadata-only records
+                if self.place is not None:
+                    batch = {k: self.place(v) for k, v in batch.items()}
+                else:
+                    batch = {k: jax.device_put(v) for k, v in batch.items()}
+                step += 1
+                yield batch
+                continue
             images = batch.pop("image")
             masks = batch.pop("mask")
             if self.place is not None:

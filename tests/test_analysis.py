@@ -322,3 +322,37 @@ def test_knn_graph_chunked_matches_single_block(rng):
     np.testing.assert_array_equal(np.asarray(nbr_a), np.asarray(nbr_b))
     np.testing.assert_allclose(np.asarray(dist_a), np.asarray(dist_b),
                                rtol=1e-6)
+
+
+def test_encoder_bf16_latents_match_fp32_moments():
+    """The latent_dtype='bfloat16' serving path (cli/save_latent.py): bf16
+    encoder latents must reproduce the fp32 patch-moment statistics within
+    bf16 tolerance, and the bundle must surface them as f32 arrays."""
+    import jax
+    from multimodal_isic_tpu.analysis import concat_patch_moments
+    from multimodal_isic_tpu.analysis.latent_pipeline import extract_latent_bundle
+    from multimodal_isic_tpu.models.convmae import ConvMAE
+    from multimodal_isic_tpu.train.mae import init_mae
+
+    rng_np = np.random.RandomState(0)
+    imgs = rng_np.rand(4, 224, 224, 3).astype(np.float32)
+    masks = (rng_np.rand(4, 224, 224) > 0.5).astype(np.float32)
+    targets = np.arange(4, dtype=np.int32)
+    kw = dict(embed_dims=(16, 24, 32), depths=(1, 1, 1), num_heads=4,
+              with_decoder=False)
+    enc32 = ConvMAE(dtype=jnp.float32, **kw)
+    enc16 = ConvMAE(dtype=jnp.bfloat16, **kw)
+    params = init_mae(enc32, jax.random.PRNGKey(0))  # fp32 params, shared
+
+    loader = [{"image": jnp.asarray(imgs), "mask": jnp.asarray(masks),
+               "target": jnp.asarray(targets)}]
+    b32 = extract_latent_bundle(enc32, params, loader)
+    b16 = extract_latent_bundle(enc16, params, loader)
+
+    assert b16.latents.dtype == np.float32  # cast back on host
+    m32 = np.asarray(concat_patch_moments(jnp.asarray(b32.latents)))
+    m16 = np.asarray(concat_patch_moments(jnp.asarray(b16.latents)))
+    scale = np.abs(m32).max()
+    assert np.abs(m16 - m32).max() / scale < 0.05  # bf16 tolerance
+    np.testing.assert_allclose(b16.pooled_mean, b32.pooled_mean,
+                               atol=0.05 * np.abs(b32.pooled_mean).max())
