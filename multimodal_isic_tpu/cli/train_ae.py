@@ -73,16 +73,17 @@ def main(argv=None) -> None:
                             transform=augment.POLICIES["mae_eval"])
 
     use_flash = bool(params_cfg.get("use_flash_attention", False))
+    remat = bool(params_cfg.get("remat_blocks", False))
     if params_cfg.get("model_size", "base") == "tiny":
         from ..models.convmae import ConvMAE
         model = ConvMAE(embed_dims=(32, 48, 64), depths=(1, 1, 2), num_heads=4,
                         decoder_dim=32, decoder_depth=1, decoder_heads=4,
                         norm_pix_loss=params_cfg["norm_pix_loss"],
-                        use_flash_attention=use_flash)
+                        use_flash_attention=use_flash, remat_blocks=remat)
     else:
         from ..models.convmae import ConvMAE
         model = ConvMAE(norm_pix_loss=params_cfg["norm_pix_loss"],
-                        use_flash_attention=use_flash)
+                        use_flash_attention=use_flash, remat_blocks=remat)
     params = init_mae(model, pool["init"].next())
 
     # pretrained initialization with strict=False semantics (the reference

@@ -89,6 +89,8 @@ class TrainParameters(_DictAccess):
     # framework's checkpoint dir; loaded strict=False (train_ae.py:136-141)
     use_flash_attention: bool = False  # Pallas blockwise attention in the
     # ConvMAE ViT/decoder blocks (ops/attention.py)
+    remat_blocks: bool = False  # jax.checkpoint ConvMAE blocks: ~1/3 extra
+    # fwd FLOPs for O(depth) less activation HBM (bs=64 -> 256 on 16 GB)
 
 
 @dataclass(frozen=True)

@@ -361,3 +361,36 @@ def test_flash_attention_convmae_train_step_equivalence(rng):
                     jax.tree_util.tree_leaves(grads["xla"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_remat_blocks_same_params_loss_and_grads(rng):
+    """remat_blocks=True (jax.checkpoint on every conv/ViT/decoder block —
+    the HBM-for-FLOPs trade that lifts the base model's max train batch from
+    64 to 256 on one 16 GB v5e) must be a pure scheduling change: identical
+    param tree, loss, and gradients."""
+    import jax
+
+    from multimodal_isic_tpu.models.convmae import ConvMAE
+    from multimodal_isic_tpu.train.mae import init_mae
+
+    m0 = ConvMAE(**TINY)
+    m1 = ConvMAE(remat_blocks=True, **TINY)
+    p0 = init_mae(m0, jax.random.PRNGKey(0))
+    p1 = init_mae(m1, jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+    imgs = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+
+    def loss_of(m):
+        def f(p):
+            loss, _, _ = m.apply({"params": p}, imgs, mask_ratio=0.75,
+                                 rng=jax.random.PRNGKey(7))
+            return loss
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_of(m0))(p0)
+    l1, g1 = jax.value_and_grad(loss_of(m1))(p0)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
