@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.depthwise import DepthwiseConv
 
@@ -103,10 +104,17 @@ class MBConv(nn.Module):
         if self.expand_ratio != 1:
             x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
                         name="expand_conv")(x)
+            # checkpoint_name tags mark conv outputs as the ONLY saved
+            # residuals under EfficientNet(remat="conv"): backward recomputes
+            # the cheap BN/silu/SE elementwise chains instead of storing
+            # their full-size outputs — byte-traffic relief for the
+            # HBM-bandwidth-bound train step (identity when unrematted).
+            x = checkpoint_name(x, "mbconv_conv_out")
             x = nn.silu(bn("bn0")(x))
         x = DepthwiseConv(mid, (self.kernel, self.kernel), stride=self.stride,
                           padding="SAME", use_bias=False,
                           dtype=self.dtype, name="depthwise_conv")(x)
+        x = checkpoint_name(x, "mbconv_conv_out")
         x = nn.silu(bn("bn1")(x))
 
         # squeeze-excite on the *input* channel count ratio
@@ -118,6 +126,7 @@ class MBConv(nn.Module):
 
         x = nn.Conv(self.out_filters, (1, 1), use_bias=False, dtype=self.dtype,
                     name="project_conv")(x)
+        x = checkpoint_name(x, "mbconv_conv_out")
         x = bn("bn2")(x)
         if self.stride == 1 and self.in_filters == self.out_filters:
             rng = self.make_rng("dropout") if (train and self.drop_rate > 0) else None
@@ -136,6 +145,16 @@ class EfficientNet(nn.Module):
     drop_connect_rate: float = 0.2
     feature_dropout: bool = True  # efficientnet_pytorch keeps _dropout before _fc
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 = mixed precision)
+    remat: str = "none"  # activation rematerialization per MBConv block:
+    # 'none'  — standard autodiff residuals;
+    # 'conv'  — save only conv outputs (the checkpoint_name tags), recompute
+    #           the BN/silu/SE elementwise chains in backward: fewer HBM
+    #           bytes for the bandwidth-bound train step at ~zero extra
+    #           MXU work;
+    # 'block' — save only block boundaries, recompute everything (max
+    #           memory relief, most recompute).
+    # The param tree is unchanged (lifted transform): checkpoints and the
+    # torch porter are unaffected.
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -143,6 +162,20 @@ class EfficientNet(nn.Module):
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, epsilon=BN_EPS, momentum=0.99,
             dtype=self.dtype, name=name)
+
+        if self.remat == "conv":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "mbconv_conv_out")
+            # `train` enters via closure (a static python bool), so the
+            # lifted transform never traces it
+            run_block = nn.remat(lambda mb, h: mb(h, train=train),
+                                 policy=policy)
+        elif self.remat == "block":
+            run_block = nn.remat(lambda mb, h: mb(h, train=train))
+        elif self.remat == "none":
+            run_block = lambda mb, h: mb(h, train=train)
+        else:
+            raise ValueError(f"remat must be none|conv|block, got {self.remat!r}")
 
         x = x.astype(self.dtype)
         stem = round_filters(32, width)
@@ -153,9 +186,9 @@ class EfficientNet(nn.Module):
         blocks = block_args(self.model_name)
         n = len(blocks)
         for i, (expand, kernel, stride, cin, cout) in enumerate(blocks):
-            x = MBConv(expand, kernel, stride, cin, cout,
-                       drop_rate=self.drop_connect_rate * i / n,
-                       dtype=self.dtype, name=f"block_{i}")(x, train=train)
+            x = run_block(MBConv(expand, kernel, stride, cin, cout,
+                                 drop_rate=self.drop_connect_rate * i / n,
+                                 dtype=self.dtype, name=f"block_{i}"), x)
 
         head = round_filters(1280, width)
         x = nn.Conv(head, (1, 1), use_bias=False, dtype=self.dtype,

@@ -83,6 +83,7 @@ class MultiModalFusionNet(nn.Module):
     backbone: str = "efficientnet-b3"
     dtype: jnp.dtype = jnp.float32  # backbone compute dtype (branch MLPs and
     # fusion heads are tiny and stay f32)
+    backbone_remat: str = "none"  # EfficientNet.remat: 'none'|'conv'|'block'
 
     @nn.compact
     def __call__(self, image=None, radiomics=None, age=None, sex=None,
@@ -104,6 +105,7 @@ class MultiModalFusionNet(nn.Module):
             if image_features is None:
                 image_features = EfficientNet(
                     self.backbone, dtype=self.dtype,
+                    remat=self.backbone_remat,
                     name="image_model")(image, train=train)
             feat = ProjMlp(256, SHARED_DIM, 0.3, 0.2, name="image_proj")(
                 image_features, train=train)

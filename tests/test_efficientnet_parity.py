@@ -54,3 +54,48 @@ def test_backbone_parity_odd_input_size(rng):
     ours = np.asarray(jmodel.apply({"params": params, "batch_stats": stats},
                                    jnp.asarray(x), train=False))
     np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("mode", ["conv", "block"])
+def test_remat_matches_unrematted(rng, mode):
+    """remat='conv'/'block' change ONLY what backward stores: same param
+    tree, same train-mode outputs, grads, and BN stat updates as
+    remat='none' (checkpoint_name tags / nn.remat are semantics-free)."""
+    x = jnp.asarray(rng.rand(2, 48, 48, 3).astype(np.float32))
+
+    results = {}
+    for m in ("none", mode):
+        model = EfficientNet("efficientnet-b0", remat=m)
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, x, train=False)
+
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(out ** 2), mut["batch_stats"]
+
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(v["params"])
+        results[m] = (float(loss), grads, stats)
+
+    l0, g0, s0 = results["none"]
+    l1, g1, s1 = results[mode]
+    assert jax.tree_util.tree_structure(g1) == jax.tree_util.tree_structure(g0)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    # Grad tolerance: the rematerialized backward recomputes the forward
+    # chains, and XLA fuses the recomputed graph differently from the
+    # saved-activation graph, so fp32 rounding drifts through B0's 16
+    # blocks. Loss matching at 1e-6 proves the dropout masks and semantics
+    # are identical; grads must agree to ~1e-4 of each leaf's own scale
+    # (element-wise rtol is meaningless for near-zero grad entries).
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g0)):
+        a, b = np.asarray(a), np.asarray(b)
+        # 1e-3 absolute floor: leaves whose grad is numerically zero
+        # (e.g. ~1e-4 against a loss whose grads reach ~1e2) carry only
+        # rounding noise in both operands.
+        assert np.abs(a - b).max() <= 2e-4 * np.abs(b).max() + 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
