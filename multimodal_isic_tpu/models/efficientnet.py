@@ -93,16 +93,23 @@ class MBConv(nn.Module):
     out_filters: int
     drop_rate: float
     dtype: jnp.dtype = jnp.float32
+    bn_folded: bool = False  # inference-only: BN pre-folded into conv weights
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         inputs = x
         mid = self.in_filters * self.expand_ratio
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, epsilon=BN_EPS, momentum=0.99,
-            dtype=self.dtype, name=name)
+        if self.bn_folded:
+            # serving variant: convs carry bias, BN layers are gone (their
+            # scale/shift live inside the conv weights via fold_batchnorm)
+            bn = lambda name: (lambda h: h)
+        else:
+            bn = lambda name: nn.BatchNorm(
+                use_running_average=not train, epsilon=BN_EPS, momentum=0.99,
+                dtype=self.dtype, name=name)
+        use_bias = self.bn_folded
         if self.expand_ratio != 1:
-            x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+            x = nn.Conv(mid, (1, 1), use_bias=use_bias, dtype=self.dtype,
                         name="expand_conv")(x)
             # checkpoint_name tags mark conv outputs as the ONLY saved
             # residuals under EfficientNet(remat="conv"): backward recomputes
@@ -112,7 +119,7 @@ class MBConv(nn.Module):
             x = checkpoint_name(x, "mbconv_conv_out")
             x = nn.silu(bn("bn0")(x))
         x = DepthwiseConv(mid, (self.kernel, self.kernel), stride=self.stride,
-                          padding="SAME", use_bias=False,
+                          padding="SAME", use_bias=use_bias,
                           dtype=self.dtype, name="depthwise_conv")(x)
         x = checkpoint_name(x, "mbconv_conv_out")
         x = nn.silu(bn("bn1")(x))
@@ -124,8 +131,8 @@ class MBConv(nn.Module):
         se = nn.Conv(mid, (1, 1), dtype=self.dtype, name="se_expand")(nn.silu(se))
         x = x * jax.nn.sigmoid(se)
 
-        x = nn.Conv(self.out_filters, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="project_conv")(x)
+        x = nn.Conv(self.out_filters, (1, 1), use_bias=use_bias,
+                    dtype=self.dtype, name="project_conv")(x)
         x = checkpoint_name(x, "mbconv_conv_out")
         x = bn("bn2")(x)
         if self.stride == 1 and self.in_filters == self.out_filters:
@@ -155,13 +162,23 @@ class EfficientNet(nn.Module):
     #           memory relief, most recompute).
     # The param tree is unchanged (lifted transform): checkpoints and the
     # torch porter are unaffected.
+    bn_folded: bool = False  # inference-only serving variant: every BN is
+    # pre-folded into the preceding conv's weights+bias (fold_batchnorm),
+    # deleting the per-element scale/shift from the VPU-bound forward.
+    # Param tree changes (convs gain 'bias', bn layers disappear); training
+    # is not supported in this variant (there are no batch stats to update).
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.bn_folded and train:
+            raise ValueError("bn_folded is an inference-only variant")
         width, depth, _, dropout_rate = PARAMS[self.model_name]
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, epsilon=BN_EPS, momentum=0.99,
-            dtype=self.dtype, name=name)
+        if self.bn_folded:
+            bn = lambda name: (lambda h: h)
+        else:
+            bn = lambda name: nn.BatchNorm(
+                use_running_average=not train, epsilon=BN_EPS, momentum=0.99,
+                dtype=self.dtype, name=name)
 
         if self.remat == "conv":
             policy = jax.checkpoint_policies.save_only_these_names(
@@ -179,8 +196,9 @@ class EfficientNet(nn.Module):
 
         x = x.astype(self.dtype)
         stem = round_filters(32, width)
-        x = nn.Conv(stem, (3, 3), strides=2, padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.Conv(stem, (3, 3), strides=2, padding="SAME",
+                    use_bias=self.bn_folded, dtype=self.dtype,
+                    name="stem_conv")(x)
         x = nn.silu(bn("stem_bn")(x))
 
         blocks = block_args(self.model_name)
@@ -188,10 +206,11 @@ class EfficientNet(nn.Module):
         for i, (expand, kernel, stride, cin, cout) in enumerate(blocks):
             x = run_block(MBConv(expand, kernel, stride, cin, cout,
                                  drop_rate=self.drop_connect_rate * i / n,
-                                 dtype=self.dtype, name=f"block_{i}"), x)
+                                 dtype=self.dtype, bn_folded=self.bn_folded,
+                                 name=f"block_{i}"), x)
 
         head = round_filters(1280, width)
-        x = nn.Conv(head, (1, 1), use_bias=False, dtype=self.dtype,
+        x = nn.Conv(head, (1, 1), use_bias=self.bn_folded, dtype=self.dtype,
                     name="head_conv")(x)
         x = nn.silu(bn("head_bn")(x))
         x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # pooled feats in f32
@@ -267,3 +286,58 @@ def port_torch_state_dict(state_dict: Dict[str, Any],
         params["fc"] = {"kernel": jnp.asarray(sd["_fc.weight"].T),
                         "bias": jnp.asarray(sd["_fc.bias"])}
     return params, stats
+
+
+# ------------------------------------------------ inference BN folding
+
+def _fold_pair(conv: Dict[str, Any], bn_p: Dict[str, Any],
+               bn_s: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold inference BN(scale,bias,mean,var) into a bias-free conv.
+
+    y = scale*(conv(x)-mean)*rsqrt(var+eps) + bias
+      = conv_{k*s}(x) + (bias - mean*s),  s = scale*rsqrt(var+eps)
+
+    Output channels sit on the last kernel axis for both dense HWIO and
+    depthwise [K,K,1,C] layouts, so one broadcast covers both.
+    """
+    s = (np.asarray(bn_p["scale"], np.float64)
+         / np.sqrt(np.asarray(bn_s["var"], np.float64) + BN_EPS))
+    kernel = np.asarray(conv["kernel"], np.float64) * s
+    bias = (np.asarray(bn_p["bias"], np.float64)
+            - np.asarray(bn_s["mean"], np.float64) * s)
+    return {"kernel": jnp.asarray(kernel, np.float32),
+            "bias": jnp.asarray(bias, np.float32)}
+
+
+def fold_batchnorm(params: Dict[str, Any], batch_stats: Dict[str, Any],
+                   model_name: str = "efficientnet-b3") -> Dict[str, Any]:
+    """Serving-time transform: (params, batch_stats) of a standard
+    :class:`EfficientNet` → the param tree of ``EfficientNet(bn_folded=True)``.
+
+    Every conv→BN pair collapses to one conv with bias; SE convs and the
+    optional fc head pass through unchanged.  The folded model evaluates
+    identically (up to float rounding) while the forward graph carries no
+    BatchNorm ops at all — the per-element scale/shift disappears from the
+    VPU-bound conv fusions of the inference path (reference eval usage:
+    ``/root/reference/main.py:156-160``).
+    """
+    out: Dict[str, Any] = {
+        "stem_conv": _fold_pair(params["stem_conv"], params["stem_bn"],
+                                batch_stats["stem_bn"])}
+    for i in range(len(block_args(model_name))):
+        b, s = params[f"block_{i}"], batch_stats[f"block_{i}"]
+        fb: Dict[str, Any] = {}
+        if "expand_conv" in b:
+            fb["expand_conv"] = _fold_pair(b["expand_conv"], b["bn0"],
+                                           s["bn0"])
+        fb["depthwise_conv"] = _fold_pair(b["depthwise_conv"], b["bn1"],
+                                          s["bn1"])
+        fb["project_conv"] = _fold_pair(b["project_conv"], b["bn2"], s["bn2"])
+        fb["se_reduce"] = b["se_reduce"]
+        fb["se_expand"] = b["se_expand"]
+        out[f"block_{i}"] = fb
+    out["head_conv"] = _fold_pair(params["head_conv"], params["head_bn"],
+                                  batch_stats["head_bn"])
+    if "fc" in params:
+        out["fc"] = params["fc"]
+    return out

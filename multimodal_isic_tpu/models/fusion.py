@@ -84,6 +84,8 @@ class MultiModalFusionNet(nn.Module):
     dtype: jnp.dtype = jnp.float32  # backbone compute dtype (branch MLPs and
     # fusion heads are tiny and stay f32)
     backbone_remat: str = "none"  # EfficientNet.remat: 'none'|'conv'|'block'
+    backbone_bn_folded: bool = False  # inference-only: backbone BN pre-folded
+    # into conv weights (see efficientnet.fold_batchnorm / fold_fusion_params)
 
     @nn.compact
     def __call__(self, image=None, radiomics=None, age=None, sex=None,
@@ -106,6 +108,7 @@ class MultiModalFusionNet(nn.Module):
                 image_features = EfficientNet(
                     self.backbone, dtype=self.dtype,
                     remat=self.backbone_remat,
+                    bn_folded=self.backbone_bn_folded,
                     name="image_model")(image, train=train)
             feat = ProjMlp(256, SHARED_DIM, 0.3, 0.2, name="image_proj")(
                 image_features, train=train)
@@ -165,3 +168,18 @@ class MultiModalFusionNet(nn.Module):
         if self.fusion_strategy == "attention":
             return AttentionFusionLate(m, name="attention")(logits)
         raise ValueError(self.fusion_strategy)
+
+
+def fold_fusion_params(params, batch_stats, backbone="efficientnet-b3"):
+    """Serving-time transform for the full fusion net: fold the image
+    backbone's BN into its conv weights.  Returns the param tree for
+    ``MultiModalFusionNet(backbone_bn_folded=True)``; the folded model is
+    applied WITHOUT a batch_stats collection (the backbone held the only
+    BatchNorm layers — branch MLPs and fusion heads use LayerNorm)."""
+    from .efficientnet import fold_batchnorm
+
+    out = dict(params)
+    if "image_model" in params:
+        out["image_model"] = fold_batchnorm(
+            params["image_model"], batch_stats["image_model"], backbone)
+    return out

@@ -99,3 +99,64 @@ def test_remat_matches_unrematted(rng, mode):
     for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s0)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_bn_folding_matches_unfolded(rng):
+    """fold_batchnorm: EfficientNet(bn_folded=True) on folded params ==
+    the standard model on (params, batch_stats) at eval, and the folded
+    param tree matches bn_folded init exactly (shape and structure)."""
+    from multimodal_isic_tpu.models.efficientnet import fold_batchnorm
+
+    x = jnp.asarray(rng.rand(2, 48, 48, 3).astype(np.float32))
+    m = EfficientNet("efficientnet-b0")
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    stats = jax.tree_util.tree_map(  # non-trivial running stats
+        lambda a: jnp.asarray(rng.rand(*a.shape).astype(np.float32) + 0.5),
+        v["batch_stats"])
+    ref = m.apply({"params": v["params"], "batch_stats": stats},
+                  x, train=False)
+
+    folded = fold_batchnorm(v["params"], stats, "efficientnet-b0")
+    mf = EfficientNet("efficientnet-b0", bn_folded=True)
+    vf = mf.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert "batch_stats" not in vf  # no BN layers remain
+    assert (jax.tree_util.tree_structure(vf["params"])
+            == jax.tree_util.tree_structure(folded))
+    for a, b in zip(jax.tree_util.tree_leaves(vf["params"]),
+                    jax.tree_util.tree_leaves(folded)):
+        assert a.shape == b.shape
+    out = mf.apply({"params": folded}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError):  # inference-only variant
+        mf.apply({"params": folded}, x, train=True,
+                 rngs={"dropout": jax.random.PRNGKey(0)})
+
+
+def test_fold_fusion_params(rng):
+    """Full fusion net: folded backbone evaluates identically, applied
+    WITHOUT a batch_stats collection."""
+    from multimodal_isic_tpu.models.fusion import (MultiModalFusionNet,
+                                                   fold_fusion_params)
+
+    n = 2
+    batch = {
+        "image": jnp.asarray(rng.rand(n, 48, 48, 3).astype(np.float32)),
+        "radiomics": jnp.asarray(rng.randn(n, 780).astype(np.float32)),
+        "age": jnp.asarray(rng.randn(n).astype(np.float32)),
+        "sex": jnp.asarray(rng.randint(0, 3, n)),
+        "loc": jnp.asarray(rng.randint(0, 15, n)),
+        "artifacts": jnp.asarray(rng.randint(0, 2, (n, 6))),
+    }
+    model = MultiModalFusionNet(backbone="efficientnet-b0")
+    v = model.init({"params": jax.random.PRNGKey(0)}, **batch, train=False)
+    ref = model.apply({"params": v["params"],
+                       "batch_stats": v["batch_stats"]}, **batch, train=False)
+
+    folded = fold_fusion_params(v["params"], v["batch_stats"],
+                                backbone="efficientnet-b0")
+    mf = MultiModalFusionNet(backbone="efficientnet-b0",
+                             backbone_bn_folded=True)
+    out = mf.apply({"params": folded}, **batch, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
