@@ -83,7 +83,8 @@ def main(argv=None) -> None:
     model = MultiModalFusionNet(modality=plan["modality"],
                                 fusion_level=plan["fusion_level"],
                                 fusion_strategy=plan["fusion"],
-                                radiomics_dim=rad_dim)
+                                radiomics_dim=rad_dim,
+                                backbone_remat=params_cfg["backbone_remat"])
     logger = RunLogger(config.get("log_dir", "runs"), config=config.to_dict())
     logger.assign("group_tags", list(plan["modality"]) + [plan["fusion"]])
     logger.assign("train/current_fold", current_fold)
@@ -123,8 +124,21 @@ def main(argv=None) -> None:
 
     restored = ckpt.restore_checkpoint(
         model_name, {"params": best_params, "batch_stats": best_stats})
-    evaluate_test(eval_step, restored["params"], restored["batch_stats"],
-                  loaders["test"], logger=logger)
+    if params_cfg["fold_bn_eval"] and with_image:
+        # serving path: fold backbone BN into conv weights for the final
+        # test pass — identical outputs, no BatchNorm ops in the graph
+        from ..models.fusion import fold_fusion_params
+        folded_model = MultiModalFusionNet(
+            modality=plan["modality"], fusion_level=plan["fusion_level"],
+            fusion_strategy=plan["fusion"], radiomics_dim=rad_dim,
+            backbone_bn_folded=True)
+        folded = fold_fusion_params(restored["params"],
+                                    restored["batch_stats"])
+        evaluate_test(make_fusion_eval_step(folded_model), folded, {},
+                      loaders["test"], logger=logger)
+    else:
+        evaluate_test(eval_step, restored["params"], restored["batch_stats"],
+                      loaders["test"], logger=logger)
 
 
 if __name__ == "__main__":

@@ -91,6 +91,12 @@ class TrainParameters(_DictAccess):
     # ConvMAE ViT/decoder blocks (ops/attention.py)
     remat_blocks: bool = False  # jax.checkpoint ConvMAE blocks: ~1/3 extra
     # fwd FLOPs for O(depth) less activation HBM (bs=64 -> 256 on 16 GB)
+    backbone_remat: str = "none"  # EfficientNet activation remat for the
+    # fusion train step: 'none' | 'conv' (save only conv outputs; recompute
+    # BN/silu/SE chains in backward) | 'block' (save block boundaries only)
+    fold_bn_eval: bool = False  # serving option: run the FINAL test
+    # evaluation with BatchNorm folded into the conv weights
+    # (models.efficientnet.fold_batchnorm) — same outputs, no BN ops
 
 
 @dataclass(frozen=True)

@@ -160,3 +160,13 @@ def test_fold_fusion_params(rng):
     out = mf.apply({"params": folded}, **batch, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+    # the cli.main fold_bn_eval integration seam: the shared eval step must
+    # accept the folded model with an EMPTY batch_stats collection
+    from multimodal_isic_tpu.train.fusion import make_fusion_eval_step
+    eval_step = make_fusion_eval_step(mf)
+    loss, logits = eval_step(folded, {}, dict(
+        batch, target=jnp.asarray(rng.randint(0, 7, n))))
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
