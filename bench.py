@@ -99,18 +99,52 @@ def measure_tpu(batch_size=512, iters=10, train_batch=128, train_iters=10):
     _ = float(out.sum())  # force real completion
     log("tpu: forward compiled")
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        acc = None
-        for _ in range(iters):
-            out = preproc_and_forward(params, batch_stats, dev_batch)
-            acc = out if acc is None else acc + out
-        _ = float(acc.sum())  # single readback closes the chain
-        best = min(best, (time.time() - t0) / iters)
+    def time_chain(fn, *args):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            acc = None
+            for _ in range(iters):
+                out = fn(*args)
+                acc = out if acc is None else acc + out
+            _ = float(acc.sum())  # single readback closes the chain
+            best = min(best, (time.time() - t0) / iters)
+        return best
+
+    best = time_chain(preproc_and_forward, params, batch_stats, dev_batch)
     ips = batch_size / best
     log(f"tpu: fusion fwd bf16 bs={batch_size}: {ips:.1f} img/s/chip "
         f"({best * 1000:.1f} ms) MFU~{fwd_flops / best / PEAK_BF16 * 100:.1f}%")
+
+    # ---- BN-FOLDED serving forward: same outputs, no BatchNorm ops ----
+    from multimodal_isic_tpu.models.fusion import fold_fusion_params
+    folded_model = MultiModalFusionNet(dtype=jnp.bfloat16,
+                                       backbone_bn_folded=True)
+    folded_params = put(fold_fusion_params(jax.device_get(params),
+                                           jax.device_get(batch_stats)))
+
+    @jax.jit
+    def folded_forward(params, batch):
+        img = jax.vmap(lambda im: augment.normalize_imagenet(
+            augment.resize_bilinear(im.astype(jnp.float32), (380, 380))))(batch["image"])
+        inputs = {k: batch[k] for k in BATCH_KEYS if k in batch}
+        inputs["image"] = img
+        return folded_model.apply({"params": params}, **inputs, train=False)
+
+    try:
+        out_f = folded_forward(folded_params, dev_batch)
+        np.testing.assert_allclose(  # folding must not change predictions
+            np.asarray(out_f), np.asarray(out), rtol=0.1, atol=0.15)
+        log("tpu: folded forward compiled")
+        best_f = time_chain(folded_forward, folded_params, dev_batch)
+        ips_f = batch_size / best_f
+        log(f"tpu: fusion fwd bf16 FOLDED bs={batch_size}: {ips_f:.1f} "
+            f"img/s/chip ({best_f * 1000:.1f} ms)")
+        if ips_f > ips:
+            log("tpu: headline = BN-folded serving graph")
+            ips = ips_f
+    except Exception as e:  # headline falls back to the standard graph
+        log(f"tpu: folded forward skipped ({type(e).__name__}: {e})")
 
     # ---- bf16 TRAINING step (fwd+bwd+SGD+BatchNorm), the r2 requirement ----
     opt = fusion_optimizer()
