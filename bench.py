@@ -84,14 +84,23 @@ def measure_tpu(batch_size=512, iters=10, train_batch=128, train_iters=10):
         params, batch_stats = init_fusion(model, jax.random.PRNGKey(0), init_batch)
     params, batch_stats = put(params), put(batch_stats)
 
-    @jax.jit
-    def preproc_and_forward(params, batch_stats, batch):
-        img = jax.vmap(lambda im: augment.normalize_imagenet(
-            augment.resize_bilinear(im.astype(jnp.float32), (380, 380))))(batch["image"])
-        variables = {"params": params, "batch_stats": batch_stats}
-        inputs = {k: batch[k] for k in BATCH_KEYS if k in batch}
-        inputs["image"] = img
-        return model.apply(variables, **inputs, train=False)
+    def make_forward(mdl, with_stats):
+        """uint8 crops → device resize(380)+normalize → eval forward; one
+        definition serves the standard and BN-folded graphs."""
+        @jax.jit
+        def fwd(params, batch_stats, batch):
+            img = jax.vmap(lambda im: augment.normalize_imagenet(
+                augment.resize_bilinear(im.astype(jnp.float32),
+                                        (380, 380))))(batch["image"])
+            variables = {"params": params}
+            if with_stats:
+                variables["batch_stats"] = batch_stats
+            inputs = {k: batch[k] for k in BATCH_KEYS if k in batch}
+            inputs["image"] = img
+            return mdl.apply(variables, **inputs, train=False)
+        return fwd
+
+    preproc_and_forward = make_forward(model, with_stats=True)
 
     dev_batch = put(_host_batch(batch_size, rng))
     fwd_flops = _flops(preproc_and_forward, params, batch_stats, dev_batch)
@@ -123,20 +132,14 @@ def measure_tpu(batch_size=512, iters=10, train_batch=128, train_iters=10):
     folded_params = put(fold_fusion_params(jax.device_get(params),
                                            jax.device_get(batch_stats)))
 
-    @jax.jit
-    def folded_forward(params, batch):
-        img = jax.vmap(lambda im: augment.normalize_imagenet(
-            augment.resize_bilinear(im.astype(jnp.float32), (380, 380))))(batch["image"])
-        inputs = {k: batch[k] for k in BATCH_KEYS if k in batch}
-        inputs["image"] = img
-        return folded_model.apply({"params": params}, **inputs, train=False)
+    folded_forward = make_forward(folded_model, with_stats=False)
 
     try:
-        out_f = folded_forward(folded_params, dev_batch)
+        out_f = folded_forward(folded_params, {}, dev_batch)
         np.testing.assert_allclose(  # folding must not change predictions
             np.asarray(out_f), np.asarray(out), rtol=0.1, atol=0.15)
         log("tpu: folded forward compiled")
-        best_f = time_chain(folded_forward, folded_params, dev_batch)
+        best_f = time_chain(folded_forward, folded_params, {}, dev_batch)
         ips_f = batch_size / best_f
         log(f"tpu: fusion fwd bf16 FOLDED bs={batch_size}: {ips_f:.1f} "
             f"img/s/chip ({best_f * 1000:.1f} ms)")

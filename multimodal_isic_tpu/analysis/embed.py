@@ -85,6 +85,17 @@ def knn_graph(x: jnp.ndarray, k: int = 15, metric: str = "euclidean",
 
 # ------------------------------------------------------------- embedding
 
+def _core_distance(dist: jnp.ndarray, min_samples: int) -> jnp.ndarray:
+    """hdbscan/cuML core distance: the distance to the ``min_samples``-th
+    nearest neighbor COUNTING the point itself (the libraries take
+    ``knn_dists[:, min_samples-1]`` with self at column 0) — i.e. the
+    (min_samples-1)-th OTHER point.  ``dist`` here excludes self, so the
+    column is ``min_samples-2``; ``min_samples<=1`` degenerates to 0."""
+    if min_samples <= 1:
+        return jnp.zeros(dist.shape[0], dist.dtype)
+    return dist[:, min(min_samples - 1, dist.shape[1]) - 1]
+
+
 def _fuzzy_weights(dist: jnp.ndarray) -> jnp.ndarray:
     """UMAP-style local kernel: w = exp(-(d - rho)/sigma), rho = nearest
     distance, sigma = mean excess distance (a cheap closed form standing in
@@ -201,7 +212,7 @@ def density_cluster(x: np.ndarray, min_cluster_size: int = 50,
     n = x.shape[0]
     kk = k or max(min_samples + 1, 16)
     nbr, dist = knn_graph(x, min(kk, n - 1), metric)
-    core = dist[:, min(min_samples, dist.shape[1]) - 1]  # min_samples-th NN
+    core = _core_distance(dist, min_samples)
     eps = eps_scale * jnp.median(core) if eps is None else jnp.float32(eps)
 
     mreach = jnp.maximum(dist, jnp.maximum(core[:, None], core[nbr]))
@@ -347,7 +358,7 @@ def hdbscan_cluster(x: np.ndarray, min_cluster_size: int = 50,
     n = x.shape[0]
     kk = k or max(min_samples + 1, 16)
     nbr, dist = knn_graph(x, min(kk, n - 1), metric)
-    core = dist[:, min(min_samples, dist.shape[1]) - 1]
+    core = _core_distance(dist, min_samples)
 
     core_np = np.asarray(core)
     # geometric eps ladder spanning every core-distance scale in the data:

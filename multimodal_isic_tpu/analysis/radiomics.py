@@ -26,6 +26,17 @@ from ..ops import filters as FB
 from ..ops import texture as T
 from ..ops import texture_extra as X
 
+def _bt601_gray(r, g, b):
+    """cv2 ``COLOR_BGR2GRAY`` bit-exact (``RadiomicExtractor.py:29``):
+    fixed-point BT.601 with shift-15 coefficients summing to 2**15
+    (verified identical to cv2 over 2M random + corner-case pixels).
+    Integer in, integer out — works for numpy and jnp alike, so the
+    per-image host path and the batched device path produce the SAME
+    gray image (float rounding of 0.299r+0.587g+0.114b resolves ties
+    differently between f32 device and f64 host math)."""
+    return (9798 * r + 19235 * g + 3735 * b + 16384) >> 15
+
+
 CHANNELS = ("grayscale", "red", "green", "blue")
 CHANNEL_SUFFIX = {"grayscale": "_gs", "red": "_red", "green": "_green",
                   "blue": "_blue"}
@@ -98,10 +109,13 @@ class RadiomicsExtractor:
         # (69 + 17 MB) — the tunneled h2d link moves ~60 MB/s, so shipping
         # bytes and doing gray/broadcast on device saves >1 s per chunk.
         def _prep(rgb_u8, mask_u8):
-            r = rgb_u8[..., 0].astype(jnp.float32)
-            g = rgb_u8[..., 1].astype(jnp.float32)
-            bl = rgb_u8[..., 2].astype(jnp.float32)
-            gray = jnp.round(0.299 * r + 0.587 * g + 0.114 * bl)
+            ri = rgb_u8[..., 0].astype(jnp.int32)
+            gi = rgb_u8[..., 1].astype(jnp.int32)
+            bi = rgb_u8[..., 2].astype(jnp.int32)
+            gray = _bt601_gray(ri, gi, bi).astype(jnp.float32)
+            r = ri.astype(jnp.float32)
+            g = gi.astype(jnp.float32)
+            bl = bi.astype(jnp.float32)
             bsz, h, w = r.shape
             chans = jnp.stack([gray, r, g, bl], axis=1).reshape(bsz * 4, h, w)
             mb = (mask_u8 == self.label).astype(jnp.uint8) * 255
@@ -162,8 +176,9 @@ class RadiomicsExtractor:
         keyed 'grayscale'/'red'/'green'/'blue' (reference return contract,
         ``RadiomicExtractor.py:50-55``)."""
         rgb = np.asarray(rgb)
-        gray = np.round(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
-                        + 0.114 * rgb[..., 2]).astype(np.float32)
+        gray = _bt601_gray(rgb[..., 0].astype(np.int64),
+                           rgb[..., 1].astype(np.int64),
+                           rgb[..., 2].astype(np.int64)).astype(np.float32)
         chans = np.stack([gray, rgb[..., 0].astype(np.float32),
                           rgb[..., 1].astype(np.float32),
                           rgb[..., 2].astype(np.float32)])

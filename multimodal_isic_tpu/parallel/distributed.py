@@ -93,13 +93,9 @@ def global_mesh(n_model: int = 1) -> "jax.sharding.Mesh":
     follows ``jax.devices()`` (process-major), so the data axis puts each
     process's local devices on contiguous rows — per-host input shards map
     onto their own chips and batch traffic stays off DCN."""
-    from jax.sharding import Mesh
+    from .sharding import make_mesh
 
-    devices = np.array(jax.devices())
-    if len(devices) % n_model:
-        raise ValueError(f"{len(devices)} devices not divisible by "
-                         f"model={n_model}")
-    return Mesh(devices.reshape(-1, n_model), (DATA_AXIS, MODEL_AXIS))
+    return make_mesh(n_data=-1, n_model=n_model)
 
 
 def host_local_batch_to_global(mesh, batch: Dict):
