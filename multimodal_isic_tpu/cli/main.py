@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import uuid
 
+import numpy as np
 import pandas as pd
 
 from ..core import checkpoint as ckpt
@@ -36,10 +37,25 @@ def main(argv=None) -> None:
     from ..parallel import distributed as dist
     dist.initialize()
     config = parse_config(argv)
+    import jax
+
+    # Multi-process mode: the SAME script runs on every host — each loads
+    # only its slice of every global batch, the assembled global arrays are
+    # sharded over dist.global_mesh()'s data axis, and XLA inserts the
+    # gradient/BN collectives (ICI in-slice, DCN across hosts) from those
+    # shardings; the jitted train/eval steps below are unchanged.
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from ..parallel import replicated
+        mesh = dist.global_mesh()
+        place = lambda v: dist.host_local_batch_to_global(mesh, v)
+    else:
+        place = None
     plan = config["training_plan"]
     params_cfg = plan["parameters"]
     seed = config["seed"]
-    pool = RngPool(seed)
+    pool = RngPool(seed)  # same seed on every process: identical epoch
+    # orders and dropout keys everywhere, as the global program requires
 
     df_train_val = pd.read_pickle(config["dir"]["df"])
     df_test = pd.read_pickle(config["dir"]["df_test"])
@@ -72,12 +88,20 @@ def main(argv=None) -> None:
 
     shuffle_rng = pool["shuffle"]
     train_records = records(df_train, radiomics, train_idx)
-    loaders = {
-        "val": DeviceLoader(records(df_val, radiomics, val_idx), 16,
-                            transform=eval_tf),
-        "test": DeviceLoader(records(df_test, radiomics_test), 16,
-                             transform=eval_tf),
-    }
+    GLOBAL_BS = 16  # reference batch size (main.py:120-126) = the global batch
+
+    def eval_loader(recs):
+        """Eval loader; multi-process wraps the order to full global batches
+        (predictions trimmed back to n_true by evaluate_test)."""
+        if not multiproc:
+            return DeviceLoader(recs, GLOBAL_BS, transform=eval_tf), None
+        order, per_bs, n_true = dist.process_epoch_order(
+            np.arange(len(recs)), GLOBAL_BS, pad_to_full=True)
+        return DeviceLoader(recs, per_bs, order=order, transform=eval_tf,
+                            place=place), n_true
+
+    val_loader, _ = eval_loader(records(df_val, radiomics, val_idx))
+    test_loader, test_n = eval_loader(records(df_test, radiomics_test))
 
     rad_dim = radiomics.shape[1] if radiomics is not None else 780
     model = MultiModalFusionNet(modality=plan["modality"],
@@ -85,45 +109,71 @@ def main(argv=None) -> None:
                                 fusion_strategy=plan["fusion"],
                                 radiomics_dim=rad_dim,
                                 backbone_remat=params_cfg["backbone_remat"])
-    logger = RunLogger(config.get("log_dir", "runs"), config=config.to_dict())
-    logger.assign("group_tags", list(plan["modality"]) + [plan["fusion"]])
-    logger.assign("train/current_fold", current_fold)
+    # one run record per JOB, not per process: non-coordinators train the
+    # same global program but stay silent
+    logger = (RunLogger(config.get("log_dir", "runs"),
+                        config=config.to_dict())
+              if dist.is_coordinator() else None)
+    if logger:
+        logger.assign("group_tags", list(plan["modality"]) + [plan["fusion"]])
+        logger.assign("train/current_fold", current_fold)
 
     first = next(iter(DeviceLoader(train_records, 2, transform=eval_tf)))
     params, batch_stats = init_fusion(model, pool["init"].next(), first)
+    if multiproc:
+        # params live replicated over the global mesh; the batch shardings
+        # alone then drive XLA's DP partitioning of the unchanged steps
+        params = jax.device_put(params, replicated(mesh))
+        batch_stats = jax.device_put(batch_stats, replicated(mesh))
     optimizer = fusion_optimizer(lr=1e-3, weight_decay=1e-4)
     state = TrainState.create(params, optimizer, pool["train"].next())
     train_step = make_fusion_train_step(model, optimizer)
     eval_step = make_fusion_eval_step(model)
 
     early_stopping = EarlyStopping(patience=params_cfg["patience"],
-                                   log=logger.log)
-    import numpy as np
+                                   log=logger.log if logger else None)
     for epoch in range(1, params_cfg["epochs"] + 1):
         order = np.random.RandomState(seed + epoch).permutation(len(df_train))
-        train_loader = DeviceLoader(train_records, 16, order=order,
-                                    transform=train_tf,
+        if multiproc:  # same permutation everywhere; each host its sub-rows
+            order, per_bs, _ = dist.process_epoch_order(order, GLOBAL_BS)
+        train_loader = DeviceLoader(train_records,
+                                    per_bs if multiproc else GLOBAL_BS,
+                                    order=order, transform=train_tf,
                                     rng_stream=pool["augment"] if with_image
-                                    else None)
+                                    else None, place=place)
         state, batch_stats, _, _ = train_epoch(
             train_step, state, batch_stats, train_loader, pool["dropout"],
             logger=logger, epoch=epoch)
         val_loss = validate_epoch(eval_step, state.params, batch_stats,
-                                  loaders["val"], logger=logger, epoch=epoch)
+                                  val_loader, logger=logger, epoch=epoch)
         if early_stopping(val_loss, (state.params, batch_stats)):
             print(f"Early stopping at epoch {epoch}")
             break
 
     best_params, best_stats = early_stopping.get_best_params() or (
         state.params, batch_stats)
-    model_name = os.path.join(config["model_path"], uuid.uuid4().hex)
+    name_hex = uuid.uuid4().hex
+    if multiproc:
+        # every process must restore the SAME path: broadcast the
+        # coordinator's uuid (checkpoints live on a shared filesystem)
+        from jax.experimental import multihost_utils
+        raw = multihost_utils.broadcast_one_to_all(
+            np.frombuffer(uuid.UUID(hex=name_hex).bytes, np.uint8))
+        name_hex = uuid.UUID(bytes=np.asarray(raw).tobytes()).hex
+    model_name = os.path.join(config["model_path"], name_hex)
     os.makedirs(config["model_path"], exist_ok=True)
-    ckpt.save_checkpoint(model_name, {"params": best_params,
-                                      "batch_stats": best_stats})
-    logger.assign("best_model_path", model_name)
+    if dist.is_coordinator():
+        ckpt.save_checkpoint(model_name, {"params": best_params,
+                                          "batch_stats": best_stats})
+    if multiproc:
+        multihost_utils.sync_global_devices("fusion_ckpt_saved")
+    if logger:
+        logger.assign("best_model_path", model_name)
 
     restored = ckpt.restore_checkpoint(
         model_name, {"params": best_params, "batch_stats": best_stats})
+    if multiproc:
+        restored = jax.device_put(restored, replicated(mesh))
     if params_cfg["fold_bn_eval"] and with_image:
         # serving path: fold backbone BN into conv weights for the final
         # test pass — identical outputs, no BatchNorm ops in the graph
@@ -132,13 +182,15 @@ def main(argv=None) -> None:
             modality=plan["modality"], fusion_level=plan["fusion_level"],
             fusion_strategy=plan["fusion"], radiomics_dim=rad_dim,
             backbone_bn_folded=True)
-        folded = fold_fusion_params(restored["params"],
-                                    restored["batch_stats"])
+        folded = fold_fusion_params(jax.device_get(restored["params"]),
+                                    jax.device_get(restored["batch_stats"]))
+        if multiproc:
+            folded = jax.device_put(folded, replicated(mesh))
         evaluate_test(make_fusion_eval_step(folded_model), folded, {},
-                      loaders["test"], logger=logger)
+                      test_loader, logger=logger, n_true=test_n)
     else:
         evaluate_test(eval_step, restored["params"], restored["batch_stats"],
-                      loaders["test"], logger=logger)
+                      test_loader, logger=logger, n_true=test_n)
 
 
 if __name__ == "__main__":

@@ -35,9 +35,19 @@ def main(argv=None) -> None:
     from ..parallel import distributed as dist
     dist.initialize()
     config = parse_config(argv)
+    # multi-process: per-host input shards over the global mesh (same wiring
+    # as cli.main); the jitted MAE steps are unchanged — XLA partitions them
+    # from the batch shardings
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from ..parallel import replicated
+        mesh = dist.global_mesh()
+        place = lambda v: dist.host_local_batch_to_global(mesh, v)
+    else:
+        place = None
     params_cfg = config["training_plan"]["parameters"]
     seed = config["seed"]
-    pool = RngPool(seed)
+    pool = RngPool(seed)  # identical streams on every process
 
     df_train_val = pd.read_pickle(config["dir"]["df"])
     df_test = pd.read_pickle(config["dir"]["df_test"])
@@ -64,11 +74,27 @@ def main(argv=None) -> None:
     def train_batches(epoch):
         order = weighted_sample_indices(
             df_train["dx"].values.astype(int), None, sampler_rng)
-        return DeviceLoader(train_records, batch_size, order=order,
+        bs = batch_size
+        if multiproc:  # same global order everywhere; each host its sub-rows
+            order, bs, _ = dist.process_epoch_order(order, batch_size)
+        return DeviceLoader(train_records, bs, order=order,
                             transform=augment.POLICIES["mae_train"],
-                            rng_stream=pool["augment"], drop_last=True)
+                            rng_stream=pool["augment"], drop_last=True,
+                            place=place)
 
     def val_batches():
+        if multiproc:
+            order, bs, _ = dist.process_epoch_order(
+                np.arange(len(val_records)), 64, pad_to_full=True)
+            return DeviceLoader(val_records, bs, order=order,
+                                transform=augment.POLICIES["mae_eval"],
+                                place=place)
+        return DeviceLoader(val_records, 64,
+                            transform=augment.POLICIES["mae_eval"])
+
+    def local_val_batches():
+        """Process-local loader for the coordinator's viz/diagnostic hook —
+        no collectives, so non-participating processes are fine."""
         return DeviceLoader(val_records, 64,
                             transform=augment.POLICIES["mae_eval"])
 
@@ -85,6 +111,8 @@ def main(argv=None) -> None:
         model = ConvMAE(norm_pix_loss=params_cfg["norm_pix_loss"],
                         use_flash_attention=use_flash, remat_blocks=remat)
     params = init_mae(model, pool["init"].next())
+    if multiproc:
+        params = jax.device_put(params, replicated(mesh))
 
     # pretrained initialization with strict=False semantics (the reference
     # loads the upstream ConvMAE/checkpoint.pth this way, train_ae.py:136-141)
@@ -105,14 +133,20 @@ def main(argv=None) -> None:
             params = ckpt.restore_partial(pretrained, params)
             print(f"Initialized from checkpoint {pretrained}")
 
-    logger = RunLogger(config.get("log_dir", "runs"), config=config.to_dict())
+    logger = (RunLogger(config.get("log_dir", "runs"),
+                        config=config.to_dict())
+              if dist.is_coordinator() else None)
     encoder_step = make_encoder_step(model)
 
     def epoch_hook(epoch, cur_params):
         if epoch % 10 == 0 or epoch == params_cfg["epochs"] - 1:
             from ..utils.viz import latent_scatter, reconstruction_grid
+            if multiproc:
+                # pull a host copy so the coordinator-only diagnostics run
+                # on ITS devices, not as a collective on the global mesh
+                cur_params = jax.device_get(cur_params)
             feats, targets = [], []
-            for batch in val_batches():
+            for batch in local_val_batches():
                 latent, _ = encoder_step(cur_params, batch["image"])
                 feats.append(np.asarray(concat_patch_moments(latent)))
                 targets.append(np.asarray(batch["target"]))
@@ -125,7 +159,7 @@ def main(argv=None) -> None:
                            title=f"MomentsConcat scatter (epoch {epoch})",
                            seed=seed)
             # reconstruction grids for 4 val samples (utils.py:94-148)
-            batch = next(iter(val_batches()))
+            batch = next(iter(local_val_batches()))
             for i in range(min(4, batch["image"].shape[0])):
                 img = batch["image"][i:i + 1]
                 _, pred, msk = model.apply(
@@ -137,6 +171,7 @@ def main(argv=None) -> None:
                     logger.artifact_path(f"image_comparison_{i + 1}_ep{epoch}.png"),
                     norm_pix_loss=params_cfg["norm_pix_loss"])
 
+    coord = dist.is_coordinator()
     result = train_mae(
         model, params, train_batches, val_batches,
         num_epochs=params_cfg["epochs"],
@@ -145,16 +180,19 @@ def main(argv=None) -> None:
         rng=pool["train"].next(),
         use_lesion_mask=params_cfg["include_lesion_mask"],
         logger=logger,
-        checkpoint_dir=os.path.join(config["model_path"], "mae_ckpt"),
-        epoch_hook=epoch_hook,
+        # resumable checkpoints + viz artifacts are per-JOB: coordinator only
+        checkpoint_dir=(os.path.join(config["model_path"], "mae_ckpt")
+                        if coord else None),
+        epoch_hook=epoch_hook if coord else None,
     )
 
-    os.makedirs(config["model_path"], exist_ok=True)
-    model_path = os.path.join(config["model_path"], f"{uuid.uuid4().hex}")
-    ckpt.save_checkpoint(model_path, result["best_params"],
-                         metadata={"val_loss": result["best_val_loss"]})
-    logger.assign("best_model_path", model_path)
-    logger.print(f"Saved Best Model at {model_path}")
+    if coord:
+        os.makedirs(config["model_path"], exist_ok=True)
+        model_path = os.path.join(config["model_path"], f"{uuid.uuid4().hex}")
+        ckpt.save_checkpoint(model_path, result["best_params"],
+                             metadata={"val_loss": result["best_val_loss"]})
+        logger.assign("best_model_path", model_path)
+        logger.print(f"Saved Best Model at {model_path}")
 
 
 if __name__ == "__main__":

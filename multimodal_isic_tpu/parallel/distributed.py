@@ -126,6 +126,51 @@ def process_local_rows(n_global: int) -> slice:
     return slice(start, start + per)
 
 
+def process_epoch_order(order, global_batch_size: int,
+                        pad_to_full: bool = False):
+    """Split a GLOBAL epoch order into this process's per-batch slices.
+
+    Global batch ``k`` covers ``order[k*G:(k+1)*G]``; each process loads the
+    contiguous ``G/nproc``-row sub-slice matching its rank, so after
+    :func:`host_local_batch_to_global` the assembled global batch equals the
+    original order rows exactly — eval predictions concatenate in global
+    order, same as single-process.
+
+    Returns ``(local_order, per_process_batch_size, n_true)``.  Rows beyond
+    the last full global batch are dropped, unless ``pad_to_full`` wraps the
+    order to fill it (eval loaders: trim host-side results to ``n_true``).
+    """
+    order = np.asarray(order)
+    nproc, pid = jax.process_count(), jax.process_index()
+    if global_batch_size % nproc:
+        raise ValueError(f"global batch {global_batch_size} not divisible "
+                         f"by {nproc} processes")
+    per = global_batch_size // nproc
+    n_true = len(order)
+    if pad_to_full and n_true % global_batch_size:
+        pad = global_batch_size - n_true % global_batch_size
+        reps = -(-pad // max(n_true, 1))
+        order = np.concatenate([order] + [order] * reps)[
+            : n_true + pad]
+    nb = len(order) // global_batch_size
+    local = order[: nb * global_batch_size].reshape(
+        nb, nproc, per)[:, pid].reshape(-1)
+    return local, per, n_true
+
+
+def gather_to_host(x) -> np.ndarray:
+    """``np.asarray`` for possibly-multi-process values: fully-addressable
+    arrays convert directly; cross-host sharded arrays are first replicated
+    (an all-gather XLA inserts from the out-sharding) so every process gets
+    the full value."""
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(x.sharding.mesh, P())
+    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
+
+
 def all_processes_equal(value: float, atol: float = 0.0) -> bool:
     """Cheap cross-process agreement check (coordination-service barrier via
     an all-gather of one scalar) — a debugging aid for divergence hunts."""

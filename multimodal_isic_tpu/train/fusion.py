@@ -137,15 +137,21 @@ def validate_epoch(eval_fn, params, batch_stats, loader, logger=None,
 
 
 def evaluate_test(eval_fn, params, batch_stats, loader, logger=None,
-               num_classes: int = 7) -> Tuple[float, str]:
-    """→ (accuracy, classification_report) matching ``net_utils.py:86-127``."""
+               num_classes: int = 7, n_true: int = None) -> Tuple[float, str]:
+    """→ (accuracy, classification_report) matching ``net_utils.py:86-127``.
+
+    ``n_true`` trims the concatenated predictions — multi-process loaders
+    wrap-pad the epoch order to full global batches
+    (``parallel.distributed.process_epoch_order(pad_to_full=True)``)."""
+    from ..parallel.distributed import gather_to_host
+
     preds, targets = [], []
     for batch in loader:
         _, logits = eval_fn(params, batch_stats, batch)
-        preds.append(np.asarray(jnp.argmax(logits, axis=1)))
-        targets.append(np.asarray(batch["target"]))
-    y_pred = np.concatenate(preds)
-    y_true = np.concatenate(targets)
+        preds.append(gather_to_host(jnp.argmax(logits, axis=1)))
+        targets.append(gather_to_host(batch["target"]))
+    y_pred = np.concatenate(preds)[:n_true]
+    y_true = np.concatenate(targets)[:n_true]
     acc = float(np.mean(y_pred == y_true))
     bacc = float(M.balanced_accuracy(y_true, y_pred, num_classes))
     report = M.classification_report(y_true, y_pred, digits=5)

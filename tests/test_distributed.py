@@ -152,3 +152,127 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+@pytest.mark.slow
+def test_fusion_cli_two_process(tmp_path):
+    """The PRIMARY entry point (cli.main) across 2 OS processes: each host
+    loads only its slice of every global batch, trains the same global
+    program, and only the coordinator writes run artifacts — the full
+    multi-host wiring of SURVEY §2.3, not just the low-level step."""
+    import yaml
+
+    from multimodal_isic_tpu.data import make_synthetic_isic
+
+    dirs = make_synthetic_isic(str(tmp_path / "data"), n_train=40, n_test=8,
+                               image_hw=(64, 80), seed=5)
+    config = {
+        "seed": 42, "device": "cpu", "dir": dirs,
+        "model_path": str(tmp_path / "models"),
+        "log_dir": str(tmp_path / "runs"),
+        "training_plan": {
+            "modality": ["radiomics", "clinical", "artifacts"],
+            "fusion": "concat", "fusion_level": "intermediate",
+            "parameters": {"patience": 3, "epochs": 2, "fold": 1},
+        },
+    }
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(yaml.safe_dump(config))
+
+    # build the manifests once (single-process ETL)
+    env0 = {**os.environ,
+            "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    pre = subprocess.run(
+        [sys.executable, "-m", "multimodal_isic_tpu.cli.prepare_df",
+         "--config_path", str(cfg)], env=env0, capture_output=True,
+        text=True, timeout=300)
+    assert pre.returncode == 0, pre.stdout + pre.stderr
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = {**env0,
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+               "ISIC_COORDINATOR": f"127.0.0.1:{port}",
+               "ISIC_NUM_PROCESSES": "2",
+               "ISIC_PROCESS_ID": str(pid)}
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "multimodal_isic_tpu.cli.main",
+             "--config_path", str(cfg)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    # exactly ONE run record and ONE saved model (coordinator-only writes)
+    runs = os.listdir(tmp_path / "runs")
+    assert len(runs) == 1, runs
+    assert len(os.listdir(tmp_path / "models")) == 1
+    # coordinator printed the digits=5 classification report
+    assert "Classification Report" in outs[0]
+    assert "Classification Report" not in outs[1]
+
+
+@pytest.mark.slow
+def test_train_ae_cli_two_process(tmp_path):
+    """cli.train_ae across 2 processes: the image input pipeline (decode →
+    per-host shard → global augment transform) feeds the sharded MAE train
+    step; resumable checkpoints, best model, and viz artifacts are written
+    once (coordinator)."""
+    import yaml
+
+    from multimodal_isic_tpu.data import make_synthetic_isic
+
+    dirs = make_synthetic_isic(str(tmp_path / "data"), n_train=40, n_test=8,
+                               image_hw=(64, 80), seed=5)
+    config = {
+        "seed": 42, "device": "cpu", "dir": dirs,
+        "model_path": str(tmp_path / "models"),
+        "log_dir": str(tmp_path / "runs"),
+        "training_plan": {
+            "modality": ["image"], "fusion": "concat",
+            "fusion_level": "intermediate",
+            "parameters": {"epochs": 1, "batch_size": 16,
+                           "model_size": "tiny", "masking_ratio": 0.75,
+                           "eval_masking_ratio": 0.5, "fold": 1},
+        },
+    }
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(yaml.safe_dump(config))
+
+    env0 = {**os.environ,
+            "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    pre = subprocess.run(
+        [sys.executable, "-m", "multimodal_isic_tpu.cli.prepare_df",
+         "--config_path", str(cfg)], env=env0, capture_output=True,
+        text=True, timeout=300)
+    assert pre.returncode == 0, pre.stdout + pre.stderr
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = {**env0,
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+               "ISIC_COORDINATOR": f"127.0.0.1:{port}",
+               "ISIC_NUM_PROCESSES": "2",
+               "ISIC_PROCESS_ID": str(pid)}
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "multimodal_isic_tpu.cli.train_ae",
+             "--config_path", str(cfg)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    model_dirs = os.listdir(tmp_path / "models")
+    assert any(len(d) == 32 for d in model_dirs)  # best model (once)
+    assert "mae_ckpt" in model_dirs
+    assert len(os.listdir(tmp_path / "runs")) == 1  # one run record
+    assert "Saved Best Model" in outs[0]
+    assert "Saved Best Model" not in outs[1]
