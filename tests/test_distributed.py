@@ -276,3 +276,37 @@ def test_train_ae_cli_two_process(tmp_path):
     assert len(os.listdir(tmp_path / "runs")) == 1  # one run record
     assert "Saved Best Model" in outs[0]
     assert "Saved Best Model" not in outs[1]
+
+
+def test_process_epoch_order_reassembles_global_batches(monkeypatch):
+    """Concatenating every process's slice of batch k (in rank order) must
+    reproduce order[k*G:(k+1)*G] exactly — the contract host_local_batch_
+    to_global's process-contiguous stacking relies on."""
+    from multimodal_isic_tpu.parallel import distributed as D
+
+    order = np.random.RandomState(0).permutation(37)
+    G, NP = 8, 2
+    slices = []
+    monkeypatch.setattr(jax, "process_count", lambda: NP)
+    for pid in range(NP):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        local, per, n_true = D.process_epoch_order(order, G)
+        assert per == G // NP and n_true == 37
+        slices.append(local.reshape(-1, per))
+    nb = 37 // G
+    rebuilt = np.concatenate(
+        [np.concatenate([s[k] for s in slices]) for k in range(nb)])
+    np.testing.assert_array_equal(rebuilt, order[: nb * G])
+
+    # pad_to_full wraps the tail into one extra full global batch
+    for pid in range(NP):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        local, per, n_true = D.process_epoch_order(order, G, pad_to_full=True)
+        assert n_true == 37
+        assert len(local) == (-(-37 // G)) * per
+    # rank-0 rows of the padded last batch: the 5-row tail wraps to the
+    # order's head (37 = 4 full batches + 5; pad = 3)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    local, per, _ = D.process_epoch_order(order, G, pad_to_full=True)
+    last_global_rows = np.concatenate([order[32:], order[:3]])
+    np.testing.assert_array_equal(local[-per:], last_global_rows[:per])
