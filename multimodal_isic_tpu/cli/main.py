@@ -32,25 +32,23 @@ from .common import parse_config
 
 
 def main(argv=None) -> None:
-    # join the multi-host runtime when ISIC_COORDINATOR/... are set (TPU
-    # pods auto-detect); a no-op single-process otherwise
-    from ..parallel import distributed as dist
-    dist.initialize()
+    # Multi-process mode (ISIC_COORDINATOR/... env or TPU-pod auto-detect):
+    # the SAME script runs on every host — each loads only its slice of
+    # every global batch, the assembled global arrays are sharded over the
+    # global mesh's data axis, and XLA inserts the gradient/BN collectives
+    # (ICI in-slice, DCN across hosts) from those shardings; the jitted
+    # train/eval steps below are unchanged.
+    # parse_config FIRST: its device key pins jax's platform (cpu override
+    # for sitecustomize-preset environments) and must land before setup()'s
+    # process_count() probe initializes the backend — on a shared-TPU host
+    # a second process touching the accelerator hangs, it doesn't error.
     config = parse_config(argv)
+    from ..parallel import distributed as dist
+    multiproc, mesh, place = dist.setup()
     import jax
 
-    # Multi-process mode: the SAME script runs on every host — each loads
-    # only its slice of every global batch, the assembled global arrays are
-    # sharded over dist.global_mesh()'s data axis, and XLA inserts the
-    # gradient/BN collectives (ICI in-slice, DCN across hosts) from those
-    # shardings; the jitted train/eval steps below are unchanged.
-    multiproc = jax.process_count() > 1
     if multiproc:
         from ..parallel import replicated
-        mesh = dist.global_mesh()
-        place = lambda v: dist.host_local_batch_to_global(mesh, v)
-    else:
-        place = None
     plan = config["training_plan"]
     params_cfg = plan["parameters"]
     seed = config["seed"]
@@ -100,7 +98,7 @@ def main(argv=None) -> None:
         return DeviceLoader(recs, per_bs, order=order, transform=eval_tf,
                             place=place), n_true
 
-    val_loader, _ = eval_loader(records(df_val, radiomics, val_idx))
+    val_loader, val_n = eval_loader(records(df_val, radiomics, val_idx))
     test_loader, test_n = eval_loader(records(df_test, radiomics_test))
 
     rad_dim = radiomics.shape[1] if radiomics is not None else 780
@@ -145,7 +143,8 @@ def main(argv=None) -> None:
             train_step, state, batch_stats, train_loader, pool["dropout"],
             logger=logger, epoch=epoch)
         val_loss = validate_epoch(eval_step, state.params, batch_stats,
-                                  val_loader, logger=logger, epoch=epoch)
+                                  val_loader, logger=logger, epoch=epoch,
+                                  n_true=val_n, group_size=GLOBAL_BS)
         if early_stopping(val_loss, (state.params, batch_stats)):
             print(f"Early stopping at epoch {epoch}")
             break

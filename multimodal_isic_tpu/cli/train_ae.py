@@ -30,21 +30,16 @@ from .common import parse_config
 
 
 def main(argv=None) -> None:
-    # join the multi-host runtime when ISIC_COORDINATOR/... are set (TPU
-    # pods auto-detect); a no-op single-process otherwise
-    from ..parallel import distributed as dist
-    dist.initialize()
+    # multi-process (ISIC_COORDINATOR/... env or TPU-pod auto-detect):
+    # per-host input shards over the global mesh; the jitted MAE steps are
+    # unchanged — XLA partitions them from the batch shardings
+    # parse_config FIRST: its device key must pin the platform before
+    # setup()'s process_count() probe initializes the backend (see cli.main)
     config = parse_config(argv)
-    # multi-process: per-host input shards over the global mesh (same wiring
-    # as cli.main); the jitted MAE steps are unchanged — XLA partitions them
-    # from the batch shardings
-    multiproc = jax.process_count() > 1
+    from ..parallel import distributed as dist
+    multiproc, mesh, place = dist.setup()
     if multiproc:
         from ..parallel import replicated
-        mesh = dist.global_mesh()
-        place = lambda v: dist.host_local_batch_to_global(mesh, v)
-    else:
-        place = None
     params_cfg = config["training_plan"]["parameters"]
     seed = config["seed"]
     pool = RngPool(seed)  # identical streams on every process
@@ -184,6 +179,9 @@ def main(argv=None) -> None:
         checkpoint_dir=(os.path.join(config["model_path"], "mae_ckpt")
                         if coord else None),
         epoch_hook=epoch_hook if coord else None,
+        # wrap-padded multi-process val loader: trim gathered per-sample
+        # losses back to the true val-set size before averaging
+        val_n_true=len(val_records) if multiproc else None,
     )
 
     if coord:

@@ -307,9 +307,10 @@ def train_mil_population(
                     {"val_bacc": vm[pos]["bacc"], "val_loss": vm[pos]["loss"]})
                 if decision == "stop":
                     stopped[t] = True
-                    # reaching max_t also reports "stop" — that's a completed
-                    # trial, not an early stop
-                    asha_stopped[t] = epoch < max_epochs
+                    # reaching the scheduler's max_t also reports "stop" —
+                    # that's a completed trial, not an early stop
+                    asha_stopped[t] = epoch < getattr(
+                        scheduler, "max_t", max_epochs)
         live_pos = [pos for pos in range(p_now)
                     if not stopped[orig[pos]] and not phantom[pos]]
         if not live_pos:
@@ -324,17 +325,20 @@ def train_mil_population(
                     host_bacc_params[t], host_loss_params[t] = snapshot(pos)
             compact(live_pos)
 
+    need_backfill = [t for t in range(P0) if best_bacc_metrics[t] is None]
+    # loop-invariant: one vmapped cohort eval covers every backfilled trial
+    vm_all = (eval_metrics(params, va_feats, va_valid, va_labels)
+              if need_backfill else None)
+    for t in need_backfill:
+        pos = int(np.where(orig == t)[0][0]) if t in orig else None
+        best_bacc_metrics[t] = (vm_all[pos] if pos is not None
+                                else {"bacc": float("nan"),
+                                      "acc": float("nan"),
+                                      "auc": float("nan"),
+                                      "loss": float("nan"),
+                                      "macro_f1": float("nan"),
+                                      "weighted_f1": float("nan")})
     for t in range(P0):
-        if best_bacc_metrics[t] is None:
-            pos = int(np.where(orig == t)[0][0]) if t in orig else None
-            vm_all = eval_metrics(params, va_feats, va_valid, va_labels)
-            best_bacc_metrics[t] = (vm_all[pos] if pos is not None
-                                    else {"bacc": float("nan"),
-                                          "acc": float("nan"),
-                                          "auc": float("nan"),
-                                          "loss": float("nan"),
-                                          "macro_f1": float("nan"),
-                                          "weighted_f1": float("nan")})
         if best_loss_metrics[t] is None:
             best_loss_metrics[t] = best_bacc_metrics[t]
 

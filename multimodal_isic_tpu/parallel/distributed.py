@@ -153,9 +153,30 @@ def process_epoch_order(order, global_batch_size: int,
         order = np.concatenate([order] + [order] * reps)[
             : n_true + pad]
     nb = len(order) // global_batch_size
+    if nb == 0:
+        # a silent empty order would make the caller run ZERO steps per
+        # epoch (NaN losses, never-improving early stopping) — fail loudly
+        raise ValueError(
+            f"epoch order has {n_true} rows < one global batch "
+            f"({global_batch_size}); shrink the global batch or pass "
+            f"pad_to_full=True")
     local = order[: nb * global_batch_size].reshape(
         nb, nproc, per)[:, pid].reshape(-1)
     return local, per, n_true
+
+
+_REPLICATORS: Dict = {}
+
+
+def _replicator(rep):
+    """Jitted identity resharder, cached per target sharding — building a
+    fresh ``jax.jit`` wrapper per call would retrace/relower the all-gather
+    program for every eval batch."""
+    fn = _REPLICATORS.get(rep)
+    if fn is None:
+        fn = jax.jit(lambda a: a, out_shardings=rep)
+        _REPLICATORS[rep] = fn
+    return fn
 
 
 def gather_to_host(x) -> np.ndarray:
@@ -167,20 +188,33 @@ def gather_to_host(x) -> np.ndarray:
         return np.asarray(x)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    rep = NamedSharding(x.sharding.mesh, P())
-    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
+    return np.asarray(_replicator(NamedSharding(x.sharding.mesh, P()))(x))
 
 
 def all_processes_equal(value: float, atol: float = 0.0) -> bool:
     """Cheap cross-process agreement check (coordination-service barrier via
     an all-gather of one scalar) — a debugging aid for divergence hunts."""
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = global_mesh()
     local = np.full((jax.local_device_count(), 1), value, np.float32)
     garr = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P(DATA_AXIS)), local)
-    gathered = np.asarray(jax.jit(
-        lambda x: x, out_shardings=NamedSharding(mesh, P()))(garr))
+    gathered = np.asarray(_replicator(NamedSharding(mesh, P()))(garr))
     return bool(np.all(np.abs(gathered - gathered[0]) <= atol))
+
+
+def setup():
+    """One-call multi-process bootstrap for CLI entries: join the runtime
+    (env/auto-detected), and when >1 process is present build the global
+    mesh and the per-host batch placer.
+
+    Returns ``(multiproc, mesh, place)`` — ``(False, None, None)`` in the
+    ordinary single-process case, so callers can keep their single-device
+    code path untouched.  Shared by ``cli/main.py`` and ``cli/train_ae.py``
+    (and any future multi-host CLI) so the wiring lives in one place."""
+    initialize()
+    if jax.process_count() <= 1:
+        return False, None, None
+    mesh = global_mesh()
+    return True, mesh, (lambda v: host_local_batch_to_global(mesh, v))

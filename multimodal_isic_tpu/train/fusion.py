@@ -120,13 +120,45 @@ def train_epoch(step_fn, state, batch_stats, loader, rng_stream, logger=None,
 
 
 def validate_epoch(eval_fn, params, batch_stats, loader, logger=None,
-                   epoch: int = 0) -> float:
-    losses, correct, total = [], 0, 0
-    for batch in loader:
-        loss, logits = eval_fn(params, batch_stats, batch)
-        losses.append(float(loss))
-        correct += int(jnp.sum(jnp.argmax(logits, axis=1) == batch["target"]))
-        total += int(batch["target"].shape[0])
+                   epoch: int = 0, n_true: int = None,
+                   group_size: int = None) -> float:
+    """Epoch val loss = mean of per-batch CE means (``net_utils.py:34``).
+
+    ``n_true``/``group_size`` handle multi-process loaders, whose epoch order
+    is wrap-padded to full global batches
+    (``parallel.distributed.process_epoch_order(pad_to_full=True)``): batch
+    means over padded batches double-weight the duplicated rows, skewing
+    early stopping away from the single-process run.  Instead the per-sample
+    losses are gathered in global order, trimmed to ``n_true``, and regrouped
+    into the SAME ``group_size`` batches (final one partial) the
+    single-process loader would have produced — the returned loss matches
+    the single-process statistic (up to float reduction order)."""
+    if n_true is not None:
+        from ..parallel.distributed import gather_to_host
+
+        logit_chunks, target_chunks = [], []
+        for batch in loader:
+            _, logits = eval_fn(params, batch_stats, batch)
+            logit_chunks.append(gather_to_host(logits))
+            target_chunks.append(gather_to_host(batch["target"]))
+        logits = np.concatenate(logit_chunks)[:n_true].astype(np.float64)
+        targets = np.concatenate(target_chunks)[:n_true]
+        shifted = logits - logits.max(axis=1, keepdims=True)
+        logp = shifted - np.log(np.exp(shifted).sum(axis=1, keepdims=True))
+        per_sample = -logp[np.arange(n_true), targets]
+        g = group_size or n_true
+        losses = [float(per_sample[k:k + g].mean())
+                  for k in range(0, n_true, g)]
+        correct = int(np.sum(np.argmax(logits, axis=1) == targets))
+        total = n_true
+    else:
+        losses, correct, total = [], 0, 0
+        for batch in loader:
+            loss, logits = eval_fn(params, batch_stats, batch)
+            losses.append(float(loss))
+            correct += int(jnp.sum(jnp.argmax(logits, axis=1)
+                                   == batch["target"]))
+            total += int(batch["target"].shape[0])
     epoch_loss = float(np.mean(losses)) if losses else float("nan")
     if logger is not None:
         logger.log("val/epoch_loss", epoch_loss, step=epoch)

@@ -78,6 +78,34 @@ def make_mae_eval_step(model: ConvMAE, eval_mask_ratio: float) -> Callable:
     return step
 
 
+def make_mae_eval_persample_step(model: ConvMAE,
+                                 eval_mask_ratio: float) -> Callable:
+    """Returns jitted (params, images, key) → per-sample losses [B].
+
+    Per-sample reduction of the same reconstruction loss as
+    ``ConvMAE.loss``: a static mask ratio masks the SAME patch count in
+    every sample, so the scalar batch loss equals the mean of this vector.
+    Multi-process validation needs the vector form — wrap-padded duplicate
+    rows (``process_epoch_order(pad_to_full=True)``) must be trimmed before
+    averaging or they double-weight into best-val selection."""
+    from ..ops.patches import patchify
+
+    @jax.jit
+    def step(params, images, key):
+        _, pred, mask = model.apply({"params": params}, images,
+                                    mask_ratio=eval_mask_ratio, rng=key)
+        target = patchify(images, 16)
+        if model.norm_pix_loss:
+            mean = target.mean(axis=-1, keepdims=True)
+            var = target.var(axis=-1, keepdims=True)
+            target = (target - mean) / jnp.sqrt(var + 1e-6)
+        per_patch = jnp.mean((pred - target) ** 2, axis=-1)  # [B, N]
+        return (per_patch * mask).sum(axis=1) / jnp.maximum(
+            mask.sum(axis=1), 1.0)
+
+    return step
+
+
 def make_encoder_step(model: ConvMAE) -> Callable:
     """Returns jitted (params, images) → (latent [B,196,768], ids_restore) —
     the mask_ratio=0 full forward used for latent extraction
@@ -108,14 +136,23 @@ def train_mae(
     logger=None,
     checkpoint_dir: Optional[str] = None,
     epoch_hook: Optional[Callable] = None,
+    val_n_true: Optional[int] = None,
 ) -> Dict:
     """Epoch loop.  ``train_batches(epoch)`` / ``val_batches()`` yield dicts
     with device-resident 'image' (and 'mask' when lesion-guided).  Returns
-    {params, best_params, best_val_loss, history}."""
+    {params, best_params, best_val_loss, history}.
+
+    ``val_n_true`` (multi-process): the val loader wrap-pads its order to
+    full global batches, so per-sample losses are gathered in global order
+    and trimmed to the first ``val_n_true`` rows before averaging — padding
+    duplicates never skew best-val selection."""
     optimizer = mae_optimizer(encoder_lr, decoder_lr)
     state = TrainState.create(params, optimizer, rng)
     train_step = make_mae_train_step(model, optimizer, mask_ratio, use_lesion_mask)
-    eval_step = make_mae_eval_step(model, eval_mask_ratio)
+    if val_n_true is None:
+        eval_step = make_mae_eval_step(model, eval_mask_ratio)
+    else:
+        eval_ps_step = make_mae_eval_persample_step(model, eval_mask_ratio)
 
     best_val = float("inf")
     best_params = state.params
@@ -131,14 +168,25 @@ def train_mae(
             seen += n
         train_loss = running / max(seen, 1)
 
-        running, seen = 0.0, 0
-        for batch in val_batches():
-            key, state = state.next_rng()
-            n = batch["image"].shape[0]
-            loss = eval_step(state.params, batch["image"], key)
-            running += float(loss) * n
-            seen += n
-        val_loss = running / max(seen, 1)
+        if val_n_true is None:
+            running, seen = 0.0, 0
+            for batch in val_batches():
+                key, state = state.next_rng()
+                n = batch["image"].shape[0]
+                loss = eval_step(state.params, batch["image"], key)
+                running += float(loss) * n
+                seen += n
+            val_loss = running / max(seen, 1)
+        else:
+            from ..parallel.distributed import gather_to_host
+
+            per_sample = []
+            for batch in val_batches():
+                key, state = state.next_rng()
+                per_sample.append(gather_to_host(
+                    eval_ps_step(state.params, batch["image"], key)))
+            per_sample = np.concatenate(per_sample)[:val_n_true]
+            val_loss = float(per_sample.mean()) if len(per_sample) else float("nan")
 
         history.append({"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss})
         if logger is not None:

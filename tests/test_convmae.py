@@ -394,3 +394,21 @@ def test_remat_blocks_same_params_loss_and_grads(rng):
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_mae_persample_eval_matches_scalar_loss():
+    """make_mae_eval_persample_step's vector mean must equal the scalar
+    batch loss under the same key: a static mask ratio masks the same patch
+    count per sample, so the global masked mean factorizes per sample (the
+    property multi-process val-loss trimming relies on)."""
+    from multimodal_isic_tpu.train.mae import (
+        init_mae, make_mae_eval_persample_step, make_mae_eval_step)
+
+    model = ConvMAE(**TINY, norm_pix_loss=True)
+    params = init_mae(model, jax.random.PRNGKey(0))
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 3))
+    key = jax.random.PRNGKey(2)
+    scalar = make_mae_eval_step(model, 0.75)(params, imgs, key)
+    vec = make_mae_eval_persample_step(model, 0.75)(params, imgs, key)
+    assert vec.shape == (4,)
+    assert float(vec.mean()) == pytest.approx(float(scalar), rel=1e-5)

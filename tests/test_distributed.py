@@ -310,3 +310,49 @@ def test_process_epoch_order_reassembles_global_batches(monkeypatch):
     local, per, _ = D.process_epoch_order(order, G, pad_to_full=True)
     last_global_rows = np.concatenate([order[32:], order[:3]])
     np.testing.assert_array_equal(local[-per:], last_global_rows[:per])
+
+
+def test_process_epoch_order_rejects_empty_epoch(monkeypatch):
+    """An epoch smaller than one global batch must fail loudly — a silent
+    empty order would make the caller train ZERO steps per epoch (NaN epoch
+    loss, never-improving early stopping) with no error anywhere."""
+    from multimodal_isic_tpu.parallel import distributed as D
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    with pytest.raises(ValueError, match="one global batch"):
+        D.process_epoch_order(np.arange(5), 8)
+    # pad_to_full instead wraps the short epoch into one full global batch
+    local, per, n_true = D.process_epoch_order(np.arange(5), 8,
+                                               pad_to_full=True)
+    assert n_true == 5 and per == 4 and len(local) == 4
+
+
+def test_validate_epoch_trims_wrap_padded_duplicates():
+    """Multi-process val loaders wrap-pad the epoch order to full global
+    batches; validate_epoch(n_true, group_size) must reproduce the
+    single-process statistic exactly, while the untrimmed mean (the bug)
+    double-weights the duplicated rows."""
+    from multimodal_isic_tpu.train.fusion import cross_entropy, validate_epoch
+
+    rs = np.random.RandomState(0)
+    N, C, G = 11, 7, 4
+    logits_all = rs.randn(N, C).astype(np.float32) * 3
+    targets_all = rs.randint(0, C, N)
+
+    def eval_fn(params, stats, batch):
+        lg = jnp.asarray(batch["logits"])
+        return cross_entropy(lg, jnp.asarray(batch["target"])), lg
+
+    def batches(order, bs):
+        return [{"logits": logits_all[order[k:k + bs]],
+                 "target": targets_all[order[k:k + bs]]}
+                for k in range(0, len(order), bs)]
+
+    plain = validate_epoch(eval_fn, None, None, batches(np.arange(N), G))
+    wrapped = np.concatenate([np.arange(N), np.arange(1)])  # pad 11 -> 12
+    trimmed = validate_epoch(eval_fn, None, None, batches(wrapped, G),
+                             n_true=N, group_size=G)
+    assert trimmed == pytest.approx(plain, rel=1e-6)
+    skewed = validate_epoch(eval_fn, None, None, batches(wrapped, G))
+    assert skewed != pytest.approx(plain, rel=1e-6)

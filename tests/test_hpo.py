@@ -214,3 +214,26 @@ def test_packed_asha_compaction_preserves_survivor_results(rng):
                                                     abs=1e-6)
         assert asha[t]["val_loss"] == pytest.approx(plain[t]["val_loss"],
                                                     rel=1e-5)
+
+
+def test_asha_max_t_completion_not_marked_early_stop(rng):
+    """A trial that reaches the SCHEDULER's max_t is completed, not
+    early-stopped — stopped_early must compare against scheduler.max_t,
+    not max_epochs, when the two differ."""
+    from multimodal_isic_tpu.hpo import ASHAScheduler
+    from multimodal_isic_tpu.hpo.population import train_mil_population
+
+    data = _mil_bags(rng, n=40)
+    shape = {"hidden_dim": 32, "att_dim": 16, "optimizer": "adam"}
+    pop = {"lr": np.array([1e-3, 1e-6, 3e-6, 1e-5]),
+           "weight_decay": np.full(4, 1e-5), "dropout": np.zeros(4)}
+    sched = ASHAScheduler(metric="val_bacc", mode="max", grace_period=2,
+                          reduction_factor=2, max_t=3)
+    reports = train_mil_population(shape, pop, data, seed=0, num_classes=3,
+                                   patience=8, max_epochs=8, scheduler=sched)
+    finished = [r for r in reports if r["epochs_run"] == 3]
+    assert finished, "no trial reached the scheduler's max_t"
+    assert all(not r["stopped_early"] for r in finished)
+    for r in reports:
+        if r["epochs_run"] < 3:  # genuinely cut at an ASHA rung
+            assert r["stopped_early"]
