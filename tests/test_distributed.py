@@ -83,6 +83,26 @@ print(f"proc {pid}: loss={loss:.6f} OK", flush=True)
 """
 
 
+def _communicate_all(procs, timeout=600):
+    """Drain every worker's stdout CONCURRENTLY and reap them all, killing
+    the whole group on timeout/failure.  Sequential ``p.communicate`` calls
+    leave the later workers' pipes undrained (a worker blocks on a full pipe
+    and the collective deadlocks) and, worse, leave ORPHANS running after a
+    TimeoutExpired — on a shared-accelerator host an orphan that touched the
+    chip wedges it for every later process."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=len(procs)) as ex:
+            futs = [ex.submit(p.communicate, timeout=timeout) for p in procs]
+            return [f.result(timeout=timeout + 30)[0] for f in futs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+
+
 @pytest.mark.slow
 def test_two_process_dp_step_equals_single_process(tmp_path):
     port = _free_port()
@@ -96,10 +116,7 @@ def test_two_process_dp_step_equals_single_process(tmp_path):
         [sys.executable, str(script), str(pid), "2", str(port),
          str(tmp_path)], env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for pid in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
+    outs = _communicate_all(procs)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 
@@ -200,10 +217,7 @@ def test_fusion_cli_two_process(tmp_path):
             [sys.executable, "-m", "multimodal_isic_tpu.cli.main",
              "--config_path", str(cfg)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
+    outs = _communicate_all(procs)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
@@ -263,10 +277,7 @@ def test_train_ae_cli_two_process(tmp_path):
             [sys.executable, "-m", "multimodal_isic_tpu.cli.train_ae",
              "--config_path", str(cfg)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
+    outs = _communicate_all(procs)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
