@@ -46,6 +46,14 @@ def main(argv=None) -> None:
     parser.add_argument("--cohort_size", type=int, default=8)
     args, rest = parser.parse_known_args(argv)
     config = parse_config(rest)
+    # multi-process (ISIC_COORDINATOR/... env or TPU-pod auto-detect): each
+    # process runs a round-robin slice of the trials on its own chips with
+    # GLOBAL ASHA rungs/failure budget over the coordination service — the
+    # Ray multi-GPU driver slot (reference tune_mil.py:142-149).  Config
+    # parsed FIRST: its device key must pin the platform before setup()'s
+    # backend probe (see cli.main).
+    from ..parallel import distributed as dist
+    multiproc, _, _ = dist.setup()
 
     patch_df = pd.read_pickle(args.patch_df)
     bags, labels, _ = build_patient_bags(patch_df)
@@ -79,6 +87,8 @@ def main(argv=None) -> None:
         results = out["results"]
         best_config = out["best_config"]
         best_val = float(results["val_bacc"].astype(float).max())
+        if multiproc and not dist.is_coordinator():
+            args.output_dir = None  # coordinator-only artifacts
         if args.output_dir:
             os.makedirs(args.output_dir, exist_ok=True)
             stamp = time.strftime("%Y%m%d_%H%M%S")

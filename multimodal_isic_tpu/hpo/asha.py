@@ -24,6 +24,10 @@ class ASHAScheduler:
     max_t: int = 200
     # rung -> list of recorded metric values
     _rungs: Dict[int, List[float]] = field(default_factory=dict)
+    # optional cross-process rung storage (``hpo.distributed``): append()
+    # returns every value recorded at the rung ACROSS processes, making stop
+    # decisions global exactly as under Ray's shared scheduler
+    board: object = None
 
     def milestones(self) -> List[int]:
         out = []
@@ -43,8 +47,12 @@ class ASHAScheduler:
         decision = "continue"
         for rung in self.milestones():
             if step == rung:
-                recorded = self._rungs.setdefault(rung, [])
-                recorded.append(value)
+                if self.board is not None:
+                    recorded = self.board.append(rung, value)
+                    self._rungs[rung] = recorded
+                else:
+                    recorded = self._rungs.setdefault(rung, [])
+                    recorded.append(value)
                 cutoff = np.nanpercentile(
                     recorded, (1.0 - 1.0 / self.reduction_factor) * 100.0)
                 if value < cutoff:

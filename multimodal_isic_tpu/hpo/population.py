@@ -408,17 +408,33 @@ def run_population_search(
     ``scheduler`` (ASHAScheduler) is SHARED across cohorts: rung cutoffs
     compare every trial seen so far, exactly like Ray's asynchronous rungs
     across its packed fractional-GPU workers (``tune_mil.py:144-149``).
+
+    Under a multi-process runtime, COHORTS shard round-robin across
+    processes (each cohort already fills its process's chips) with the rung
+    board and results table over the coordination service — see
+    ``hpo.runner.run_search`` for the sharding contract.
     → {best_config, results (DataFrame incl. epochs_run / stopped_early),
     wall_s}."""
     import pandas as pd
 
+    from . import distributed as hdist
+
+    ns = hdist.search_namespace()
     rng = np.random.RandomState(seed)
-    rows = []
     t_start = time.time()
     n_cohorts = (num_samples + cohort_size - 1) // cohort_size
+    mine = set(hdist.shard_indices(n_cohorts))
+    if jax.process_count() > 1 and scheduler is not None \
+            and scheduler.board is None:
+        scheduler.board = hdist.CoordinationRungBoard(ns)
+    cohort_rows: Dict[int, List[dict]] = {}
     for c in range(n_cohorts):
         P = min(cohort_size, num_samples - c * cohort_size)
+        # every process samples every cohort from the same stream; only its
+        # own round-robin slice trains (results exchanged afterwards)
         full = [sample_config(space, rng) for _ in range(P)]
+        if c not in mine:
+            continue
         shape_config = {k: full[0][k] for k in SHAPE_KEYS if k in full[0]}
         pop = {k: np.array([cfg[k] for cfg in full]) for k in POP_KEYS}
         reports = train_mil_population(
@@ -426,16 +442,25 @@ def run_population_search(
             patience=patience, max_epochs=max_epochs,
             scheduler=scheduler,
             trial_ids=[f"cohort{c:03d}_t{t:02d}" for t in range(P)])
+        cohort_rows[c] = []
         for t, rep in enumerate(reports):
             cfg = {**shape_config, **{k: float(pop[k][t]) for k in POP_KEYS}}
             row = {"trial_id": f"cohort{c:03d}_t{t:02d}",
                    **{f"config/{k}": v for k, v in cfg.items()},
-                   **{k: v for k, v in rep.items() if not k.startswith("_")}}
-            rows.append(row)
+                   **{k: (float(v) if isinstance(v, (np.floating, np.integer))
+                          else v)
+                      for k, v in rep.items() if not k.startswith("_")}}
+            cohort_rows[c].append(row)
+        hdist.publish_result(ns, c, {"rows": cohort_rows[c]})
         if verbose:
             vals = [r[metric] for r in reports]
             print(f"cohort {c}: {P} trials, best {metric}="
                   f"{(max if mode == 'max' else min)(vals):.4f}", flush=True)
+
+    # multi-process: barrier + merge so every process holds the full table
+    for c, payload in hdist.collect_results(ns).items():
+        cohort_rows.setdefault(c, payload["rows"])
+    rows = [row for c in sorted(cohort_rows) for row in cohort_rows[c]]
 
     frame = pd.DataFrame(rows)
     vals = frame[metric].astype(float)

@@ -7,6 +7,14 @@ Trials execute sequentially on the chip — the reference's fractional-GPU
 trial packing (``PER_PROC_GPU_MEM_FRACTION``) has no TPU analogue; a single
 jitted trial already saturates the chip, and cross-trial parallelism slots in
 at the mesh level when more chips are present.
+
+Under a multi-process ``jax.distributed`` runtime (Ray's multi-GPU driver
+slot), each process executes a round-robin slice of the trials on its own
+chips while the global pieces ride the coordination service
+(``hpo.distributed``): ASHA rung results are shared, the failure budget is
+global, and after a barrier every process assembles the identical results
+table (coordinator writes the artifacts).  Every process samples EVERY
+config from the same seeded stream, so configs never need exchanging.
 """
 
 from __future__ import annotations
@@ -56,14 +64,34 @@ def run_search(
     max_failures: int = 5,
 ) -> Dict[str, Any]:
     """→ {best_config, best_trial, results (DataFrame), trials}."""
+    from . import distributed as hdist
+
+    import jax
+
+    nproc, pid = jax.process_count(), jax.process_index()
+    ns = hdist.search_namespace()
+    mine = set(hdist.shard_indices(num_samples))
     rng = np.random.RandomState(seed)
     scheduler = scheduler or ASHAScheduler(metric=metric, mode=mode,
                                            max_t=max_epochs)
+    if nproc > 1 and scheduler.board is None:
+        scheduler.board = hdist.CoordinationRungBoard(ns)
     trials: List[Trial] = []
 
     for i in range(num_samples):
+        # every process samples every config (same stream) — only its own
+        # round-robin slice executes; the rest are filled from the KV store
         config = sample_config(space, rng)
         trial = Trial(trial_id=f"trial_{i:05d}", config=config)
+        if i not in mine:
+            trials.append(trial)
+            continue
+        gfail = hdist.global_failure_count(ns)
+        if gfail is not None and gfail >= max_failures:
+            # another process exhausted the GLOBAL failure budget — abort at
+            # this trial boundary instead of running our remaining slice
+            raise RuntimeError(
+                f"aborting search: {gfail} trials failed across processes")
         epoch_counter = {"n": 0}
 
         def report_fn(result: Dict[str, float]):
@@ -97,7 +125,9 @@ def run_search(
         except Exception as e:  # failed trial -> NaN row, keep the sweep alive
             trial.error = f"{type(e).__name__}: {e}"
             trial.final = {metric: float("nan")}
-            n_failed = sum(1 for t in trials if t.error) + 1
+            # the failure budget is GLOBAL under multi-process sharding
+            n_failed = (hdist.global_failure_count(ns, new_failure=True)
+                        or sum(1 for t in trials if t.error) + 1)
             if verbose:
                 print(f"{trial.trial_id} FAILED ({n_failed}/{max_failures}): "
                       f"{trial.error}", flush=True)
@@ -107,11 +137,27 @@ def run_search(
                     f"aborting search after {n_failed} failed trials") from e
         trial.wall_s = time.time() - t0
         trials.append(trial)
+        hdist.publish_result(ns, i, {
+            "final": {k: (float(v) if isinstance(v, (int, float, np.floating,
+                                                     np.integer)) else v)
+                      for k, v in (trial.final or {}).items()},
+            "stopped_early": trial.stopped_early,
+            "wall_s": trial.wall_s, "error": trial.error})
         if verbose:
             print(f"{trial.trial_id}: {metric}="
                   f"{trial.final.get(metric, float('nan')):.4f}"
                   f"{' (stopped early)' if trial.stopped_early else ''}"
                   f" [{trial.wall_s:.1f}s]", flush=True)
+
+    # multi-process: barrier, then fill the trials other processes ran so
+    # every process holds the identical full table (best pick deterministic)
+    remote = hdist.collect_results(ns)
+    for i, t in enumerate(trials):
+        if t.final is None and i in remote:
+            t.final = remote[i]["final"]
+            t.stopped_early = bool(remote[i]["stopped_early"])
+            t.wall_s = float(remote[i]["wall_s"])
+            t.error = remote[i]["error"]
 
     rows = []
     for t in trials:
@@ -131,7 +177,7 @@ def run_search(
     best_idx = int(vals.idxmax() if mode == "max" else vals.idxmin())
     best_trial = trials[best_idx]
 
-    if output_dir:
+    if output_dir and pid == 0:  # coordinator-only artifacts
         os.makedirs(output_dir, exist_ok=True)
         stamp = time.strftime("%Y%m%d_%H%M%S")
         results.to_csv(os.path.join(output_dir, f"hpo_results_{stamp}.csv"),

@@ -367,3 +367,101 @@ def test_validate_epoch_trims_wrap_padded_duplicates():
     assert trimmed == pytest.approx(plain, rel=1e-6)
     skewed = validate_epoch(eval_fn, None, None, batches(wrapped, G))
     assert skewed != pytest.approx(plain, rel=1e-6)
+
+
+HPO_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+outdir = sys.argv[4]; engine = sys.argv[5]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["ISIC_COORDINATOR"] = f"127.0.0.1:{port}"
+os.environ["ISIC_NUM_PROCESSES"] = str(nproc)
+os.environ["ISIC_PROCESS_ID"] = str(pid)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from multimodal_isic_tpu.parallel import distributed as D
+assert D.initialize(), "distributed init failed"
+import numpy as np
+from multimodal_isic_tpu.hpo import ASHAScheduler, MIL_SPACE, run_search
+from multimodal_isic_tpu.hpo.population import run_population_search
+from multimodal_isic_tpu.train.mil import train_mil
+
+rng = np.random.RandomState(0)  # SAME data on every process
+labels = rng.randint(0, 3, 30)
+bags = []
+for i in range(30):
+    b = rng.randn(8, 6).astype(np.float32)
+    b[:, labels[i]] += 2.0
+    bags.append(b)
+data = {"train_feats": bags, "train_labels": labels}
+
+sched = ASHAScheduler(metric="val_bacc", mode="max", grace_period=2,
+                      reduction_factor=2, max_t=6)
+if engine == "sequential":
+    out = run_search(train_mil, MIL_SPACE, data, num_samples=6,
+                     max_epochs=6, patience=6, num_classes=3, seed=0,
+                     scheduler=sched, output_dir=os.path.join(outdir, "art"))
+    results = out["results"]
+    ran = [t.trial_id for t in out["trials"] if t.reports]
+    print("RAN:", ",".join(ran), flush=True)
+    assert set(results.columns) >= {"trial_id", "val_bacc"}
+else:
+    out = run_population_search(
+        {k: MIL_SPACE[k] for k in MIL_SPACE}, data, num_samples=8,
+        cohort_size=2, seed=0, max_epochs=4, patience=4, num_classes=3,
+        scheduler=sched, verbose=False)
+    results = out["results"]
+results.to_csv(os.path.join(outdir, f"proc{pid}.csv"), index=False)
+vals = results["val_bacc"].astype(float)
+assert len(results) == (6 if engine == "sequential" else 8), len(results)
+assert vals.notna().all(), "foreign trials missing from the merged table"
+print("BEST:", out["best_config"], flush=True)
+print("WORKER-DONE", flush=True)
+"""
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("engine", ["sequential", "packed"])
+def test_hpo_trials_shard_across_two_processes(tmp_path, engine):
+    """The Ray multi-GPU slot (reference tune_mil.py:142-149): trials/cohorts
+    round-robin across 2 OS processes with ASHA rungs, the failure budget,
+    and the results table shared over jax's coordination service.  Both
+    processes must assemble the IDENTICAL full results table (deterministic
+    best pick) while executing disjoint slices; only the coordinator writes
+    artifacts."""
+    port = _free_port()
+    script = tmp_path / "hpo_worker.py"
+    script.write_text(HPO_WORKER)
+
+    env = {**os.environ,
+           "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", str(port),
+         str(tmp_path), engine], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for pid in range(2)]
+    outs = _communicate_all(procs)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+        assert "WORKER-DONE" in out
+
+    import pandas as pd
+    t0 = pd.read_csv(tmp_path / "proc0.csv")
+    t1 = pd.read_csv(tmp_path / "proc1.csv")
+    pd.testing.assert_frame_equal(t0, t1)  # identical merged tables
+
+    # identical best config on both processes
+    best = [next(l for l in out.splitlines() if l.startswith("BEST:"))
+            for out in outs]
+    assert best[0] == best[1]
+
+    if engine == "sequential":
+        # disjoint execution covering all 6 trials (round-robin sharding)
+        ran = [set(next(l for l in out.splitlines()
+                        if l.startswith("RAN:"))[4:].strip().split(","))
+               for out in outs]
+        assert ran[0].isdisjoint(ran[1])
+        assert ran[0] | ran[1] == {f"trial_{i:05d}" for i in range(6)}
+        # coordinator-only artifacts
+        arts = os.listdir(tmp_path / "art")
+        assert sum(a.startswith("hpo_results_") for a in arts) == 1
