@@ -107,16 +107,49 @@ def publish_result(namespace: str, trial_index: int, payload: Dict) -> None:
                          json.dumps(payload))
 
 
-def collect_results(namespace: str,
-                    barrier_timeout_s: int = 600) -> Dict[int, Dict]:
-    """Barrier (all processes finished their slice), then read back every
-    process's published trials → {trial_index: payload}.  {} single-process."""
+def collect_results(namespace: str, expected: int,
+                    max_failures: Optional[int] = None,
+                    timeout_s: Optional[float] = None) -> Dict[int, Dict]:
+    """Read back every process's published trials → {trial_index: payload}
+    ({} single-process).
+
+    Polls the result directory until ``expected`` entries exist instead of a
+    fixed barrier: slices finish at very different times when trial costs are
+    heterogeneous (graph-MIL shape keys), and a fast process must simply keep
+    waiting, not time out.  The deadline (``ISIC_HPO_COLLECT_TIMEOUT_S``, or
+    ``timeout_s``; default 24 h) only bounds true wedges.  While waiting, a
+    blown GLOBAL failure budget raises here too — the owning process aborted
+    mid-slice and its remaining trials will never arrive."""
     client = _kv_client()
     if client is None:
         return {}
-    client.wait_at_barrier(f"hpo/{namespace}/done", barrier_timeout_s * 1000)
+    import os
+    import time
+
+    deadline = time.time() + float(
+        timeout_s if timeout_s is not None
+        else os.environ.get("ISIC_HPO_COLLECT_TIMEOUT_S", 86400))
+    prefix = f"hpo/{namespace}/result/"
+    while True:
+        try:
+            entries = client.key_value_dir_get(prefix)
+        except Exception:  # no result published anywhere yet
+            entries = []
+        if len(entries) >= expected:
+            break
+        if max_failures is not None:
+            n_fail = global_failure_count(namespace)
+            if n_fail is not None and n_fail >= max_failures:
+                raise RuntimeError(
+                    f"aborting search: {n_fail} trials failed across "
+                    f"processes while waiting for results")
+        if time.time() > deadline:
+            raise RuntimeError(
+                f"collect_results timed out: {len(entries)}/{expected} "
+                f"trial results published")
+        time.sleep(0.5)
     out = {}
-    for key, val in client.key_value_dir_get(f"hpo/{namespace}/result/"):
+    for key, val in entries:
         out[int(key.rsplit("/", 1)[1])] = json.loads(val)
     return out
 

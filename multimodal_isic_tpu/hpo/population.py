@@ -457,8 +457,9 @@ def run_population_search(
             print(f"cohort {c}: {P} trials, best {metric}="
                   f"{(max if mode == 'max' else min)(vals):.4f}", flush=True)
 
-    # multi-process: barrier + merge so every process holds the full table
-    for c, payload in hdist.collect_results(ns).items():
+    # multi-process: wait for all cohorts' published rows, then merge so
+    # every process holds the full table
+    for c, payload in hdist.collect_results(ns, expected=n_cohorts).items():
         cohort_rows.setdefault(c, payload["rows"])
     rows = [row for c in sorted(cohort_rows) for row in cohort_rows[c]]
 

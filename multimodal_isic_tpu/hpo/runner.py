@@ -149,9 +149,11 @@ def run_search(
                   f"{' (stopped early)' if trial.stopped_early else ''}"
                   f" [{trial.wall_s:.1f}s]", flush=True)
 
-    # multi-process: barrier, then fill the trials other processes ran so
-    # every process holds the identical full table (best pick deterministic)
-    remote = hdist.collect_results(ns)
+    # multi-process: wait for every process's published trials, then fill
+    # the ones others ran so every process holds the identical full table
+    # (best pick deterministic)
+    remote = hdist.collect_results(ns, expected=num_samples,
+                                   max_failures=max_failures)
     for i, t in enumerate(trials):
         if t.final is None and i in remote:
             t.final = remote[i]["final"]
