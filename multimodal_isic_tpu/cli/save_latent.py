@@ -40,8 +40,11 @@ def extract_latents(config, path: str, remove_background: bool = False):
                         decoder_dim=32, decoder_depth=1, decoder_heads=4,
                         with_decoder=False, dtype=dtype)
     else:
+        fused = (bool(config["training_plan"]["parameters"].get(
+            "use_fused_mlp", True)) and jax.default_backend() == "tpu")
         model = convmae_convvit_base_patch16_dec512d8b(with_decoder=False,
-                                                       dtype=dtype)
+                                                       dtype=dtype,
+                                                       use_fused_mlp=fused)
     params = init_mae(model, jax.random.PRNGKey(config["seed"]))
     checkpoint_path = os.path.join(os.getcwd(), "models", path) \
         if not os.path.isabs(path) else path

@@ -95,6 +95,10 @@ def main(argv=None) -> None:
 
     use_flash = bool(params_cfg.get("use_flash_attention", False))
     remat = bool(params_cfg.get("remat_blocks", False))
+    # fused LN-MLP needs lane-aligned conv dims (base: 256/384) and pays off
+    # on the MXU; tiny's 32/48 dims and CPU runs take the unfused path
+    fused_mlp = (bool(params_cfg.get("use_fused_mlp", True))
+                 and jax.default_backend() == "tpu")
     if params_cfg.get("model_size", "base") == "tiny":
         from ..models.convmae import ConvMAE
         model = ConvMAE(embed_dims=(32, 48, 64), depths=(1, 1, 2), num_heads=4,
@@ -104,7 +108,8 @@ def main(argv=None) -> None:
     else:
         from ..models.convmae import ConvMAE
         model = ConvMAE(norm_pix_loss=params_cfg["norm_pix_loss"],
-                        use_flash_attention=use_flash, remat_blocks=remat)
+                        use_flash_attention=use_flash, remat_blocks=remat,
+                        use_fused_mlp=fused_mlp)
     params = init_mae(model, pool["init"].next())
     if multiproc:
         params = jax.device_put(params, replicated(mesh))

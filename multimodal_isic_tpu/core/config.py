@@ -89,6 +89,9 @@ class TrainParameters(_DictAccess):
     # framework's checkpoint dir; loaded strict=False (train_ae.py:136-141)
     use_flash_attention: bool = False  # Pallas blockwise attention in the
     # ConvMAE ViT/decoder blocks (ops/attention.py)
+    use_fused_mlp: bool = True  # Pallas fused LN→MLP→residual in the ConvMAE
+    # conv stages (ops/fused_mlp.py): +10% train / +13% fwd on v5e; applied
+    # only on TPU with lane-aligned dims (base model), ignored for 'tiny'
     remat_blocks: bool = False  # jax.checkpoint ConvMAE blocks: ~1/3 extra
     # fwd FLOPs for O(depth) less activation HBM (bs=64 -> 256 on 16 GB)
     backbone_remat: str = "none"  # EfficientNet activation remat for the

@@ -104,14 +104,48 @@ class Block(nn.Module):
         return x
 
 
+class _LNParams(nn.Module):
+    """Parameter twin of ``nn.LayerNorm`` (same names/shapes/initializers,
+    no compute) — the fused LN-MLP kernel consumes the raw scale/bias."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        s = self.param("scale", nn.initializers.ones, (features,))
+        b = self.param("bias", nn.initializers.zeros, (features,))
+        return s, b
+
+
+class _Conv1x1Params(nn.Module):
+    """Parameter twin of a 1×1 ``nn.Conv``: declares the identical
+    kernel/bias (same names, shapes, initializers) WITHOUT computing the
+    convolution, so the fused-MLP kernel can consume the raw weights while
+    staying checkpoint/porter-compatible with the ``nn.Conv`` layout."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,))
+        return k, b
+
+
 class ConvBlock(nn.Module):
     """Conv stage block: 1×1 → masked 5×5 depthwise → 1×1, then a 1×1 MLP,
     both residual.  ``keep`` ([B, H, W, 1], 1 = visible) zeroes masked
     positions at the depthwise input so masked pixels cannot leak through the
-    5×5 receptive field during pretraining."""
+    5×5 receptive field during pretraining.
+
+    ``use_fused_mlp`` routes the whole MLP half (LayerNorm_1 → Conv_3 → GELU
+    → Conv_4 → residual) through the ``ops.fused_mlp.fused_ln_mlp`` Pallas
+    kernel: the 4×-expansion intermediate, the LN output, and the
+    pre-residual MLP output (the top ops of the r3 train-step trace) all
+    stay VMEM-resident; parameters and math are unchanged."""
     dim: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    use_fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, keep: Optional[jnp.ndarray] = None):
@@ -126,9 +160,25 @@ class ConvBlock(nn.Module):
         h = nn.gelu(h, approximate=False)
         h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="Conv_2")(h)
         x = x + h
+        f = int(self.dim * self.mlp_ratio)
+        # init always takes the nn.LayerNorm/nn.Conv branch (params are
+        # path-independent and Pallas never lowers off-TPU during init,
+        # cf. Attention above)
+        if self.use_fused_mlp and not self.is_initializing():
+            from ..ops.fused_mlp import fused_ln_mlp
+            dt = self.dtype
+            bb, hh, ww, c = x.shape
+            # explicit names match the unfused branch's auto-numbering
+            ls, lb = _LNParams(name="LayerNorm_1")(c)
+            k1, b1 = _Conv1x1Params(f, name="Conv_3")(c)
+            k2, b2 = _Conv1x1Params(self.dim, name="Conv_4")(f)
+            out = fused_ln_mlp(x.reshape(-1, c).astype(dt), ls, lb,
+                               k1[0, 0].astype(dt), b1.astype(dt),
+                               k2[0, 0].astype(dt), b2.astype(dt),
+                               interpret=jax.default_backend() != "tpu")
+            return out.reshape(bb, hh, ww, c).astype(dt)
         h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = nn.Conv(int(self.dim * self.mlp_ratio), (1, 1), dtype=self.dtype,
-                    name="Conv_3")(h)
+        h = nn.Conv(f, (1, 1), dtype=self.dtype, name="Conv_3")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="Conv_4")(h)
         return x + h
@@ -177,6 +227,8 @@ class ConvMAE(nn.Module):
     norm_pix_loss: bool = False
     with_decoder: bool = True
     use_flash_attention: bool = False  # Pallas blockwise attention for the ViT
+    use_fused_mlp: bool = False  # Pallas fused conv-MLP (ops.fused_mlp) for
+    # the conv-stage MLP halves — VMEM-resident 4× expansion
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 = mixed precision;
     # params stay f32, loss computed in f32)
     remat_blocks: bool = False  # jax.checkpoint every conv/ViT/decoder block:
@@ -200,10 +252,12 @@ class ConvMAE(nn.Module):
         Blk = nn.remat(Block) if self.remat_blocks else Block
         self.embed1 = nn.Conv(d0, (4, 4), strides=(4, 4), dtype=dt)
         self.embed1_norm = nn.LayerNorm(dtype=dt)
-        self.stage1 = [CB(d0, dtype=dt) for _ in range(self.depths[0])]
+        self.stage1 = [CB(d0, dtype=dt, use_fused_mlp=self.use_fused_mlp)
+                       for _ in range(self.depths[0])]
         self.embed2 = nn.Conv(d1, (2, 2), strides=(2, 2), dtype=dt)
         self.embed2_norm = nn.LayerNorm(dtype=dt)
-        self.stage2 = [CB(d1, dtype=dt) for _ in range(self.depths[1])]
+        self.stage2 = [CB(d1, dtype=dt, use_fused_mlp=self.use_fused_mlp)
+                       for _ in range(self.depths[1])]
         self.embed3 = nn.Conv(d2, (2, 2), strides=(2, 2), dtype=dt)
         self.embed3_norm = nn.LayerNorm(dtype=dt)
         self.pos_embed = self.param(
@@ -324,12 +378,14 @@ class ConvMAE(nn.Module):
 
 def convmae_convvit_base_patch16_dec512d8b(norm_pix_loss: bool = False,
                                            with_decoder: bool = True,
-                                           dtype=jnp.float32) -> ConvMAE:
+                                           dtype=jnp.float32,
+                                           use_fused_mlp: bool = False
+                                           ) -> ConvMAE:
     """Constructor named for discoverability against the reference import
     (``train_ae.py:25``).  ``dtype=jnp.bfloat16`` = mixed-precision compute
     with fp32 params (the measured TPU training/serving configuration)."""
     return ConvMAE(norm_pix_loss=norm_pix_loss, with_decoder=with_decoder,
-                   dtype=dtype)
+                   dtype=dtype, use_fused_mlp=use_fused_mlp)
 
 
 # --------------------------------------------------- torch weight porting
