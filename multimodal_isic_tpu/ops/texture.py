@@ -77,7 +77,11 @@ def glcm_matrices(levels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """
     h, w = levels.shape
     inside = (mask > 0)
-    onehot = jax.nn.one_hot(levels - 1, NG, dtype=jnp.float32)  # level 0 -> row of zeros at -1? no:
+    # Outside-ROI pixels carry level 0, so levels-1 == -1 there and
+    # jax.nn.one_hot(-1, NG) is an all-zero row; the explicit inside-mask
+    # multiply below is therefore redundant for them but kept as a guard for
+    # any caller that passes levels not produced by discretize().
+    onehot = jax.nn.one_hot(levels - 1, NG, dtype=jnp.float32)
     onehot = onehot * inside[..., None]
 
     mats = []
