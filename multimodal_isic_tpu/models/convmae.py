@@ -409,7 +409,11 @@ def port_torch_state_dict(state_dict, model: ConvMAE):
     """
     import numpy as np
 
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # Deep-copy: torch state_dict tensors share storage with the live model,
+    # and jnp.asarray on CPU zero-copies contiguous numpy arrays — without
+    # the copy a later torch optimizer step would mutate the ported params
+    # in place (see models/efficientnet.py::port_torch_state_dict).
+    sd = {k: np.array(v, copy=True) for k, v in state_dict.items()}
     missing = []
 
     def conv(prefix):

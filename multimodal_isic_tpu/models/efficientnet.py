@@ -50,6 +50,58 @@ BN_EPS = 1e-3
 SE_RATIO = 0.25
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's running-statistics semantics.
+
+    flax's ``nn.BatchNorm`` folds the BIASED batch variance into the running
+    variance; ``torch.nn.BatchNorm2d`` normalizes with the biased variance but
+    updates the running variance with the UNBIASED one (Bessel correction
+    n/(n-1)).  The reference trains its backbone with torch BN
+    (``model.py:58``, ``net_utils.py:6-44``), so N-step training trajectories
+    only match a ported torch twin when the running stats follow the torch
+    rule (tests/test_trajectory_parity.py).  The ``batch_stats`` layout
+    ({mean, var}) and the normalization math are unchanged from flax;
+    ``momentum`` keeps the flax decay convention (0.99 ≡ torch momentum 0.01).
+    Stats and normalization are computed in f32 regardless of ``dtype``
+    (mixed-precision hygiene); the output is cast back to ``dtype``.
+    """
+    use_running_average: bool = True
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        # stats math in f32 at least; f64 when the input is f64 (x64 parity
+        # tests run the whole trajectory in double precision)
+        stat_dtype = jnp.promote_types(jnp.float32, x.dtype)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(stat_dtype)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        y = ((x.astype(stat_dtype) - mean)
+             * jax.lax.rsqrt(var + jnp.asarray(self.epsilon, stat_dtype)))
+        return (y * scale + bias).astype(self.dtype)
+
+
 def round_filters(filters: int, width: float, divisor: int = 8) -> int:
     filters *= width
     new = max(divisor, int(filters + divisor / 2) // divisor * divisor)
@@ -104,7 +156,7 @@ class MBConv(nn.Module):
             # scale/shift live inside the conv weights via fold_batchnorm)
             bn = lambda name: (lambda h: h)
         else:
-            bn = lambda name: nn.BatchNorm(
+            bn = lambda name: TorchBatchNorm(
                 use_running_average=not train, epsilon=BN_EPS, momentum=0.99,
                 dtype=self.dtype, name=name)
         use_bias = self.bn_folded
@@ -176,7 +228,7 @@ class EfficientNet(nn.Module):
         if self.bn_folded:
             bn = lambda name: (lambda h: h)
         else:
-            bn = lambda name: nn.BatchNorm(
+            bn = lambda name: TorchBatchNorm(
                 use_running_average=not train, epsilon=BN_EPS, momentum=0.99,
                 dtype=self.dtype, name=name)
 
@@ -237,7 +289,11 @@ def port_torch_state_dict(state_dict: Dict[str, Any],
     HWIO(I=1, feature_group_count); BN weight/bias → scale/bias and
     running_mean/var → batch_stats.
     """
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # Deep-copy: torch state_dict tensors share storage with the LIVE model,
+    # and jnp.asarray on CPU zero-copies contiguous numpy arrays — without
+    # the copy, a later torch optimizer step would mutate the "ported" JAX
+    # parameters in place (observed: nondeterministic trajectory tests).
+    sd = {k: np.array(v, copy=True) for k, v in state_dict.items()}
 
     def conv_w(key):
         w = sd[key]
