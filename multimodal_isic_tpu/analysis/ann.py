@@ -1,0 +1,195 @@
+"""Approximate k-nearest-neighbors at reference scale, TPU-first.
+
+The reference clusters the FULL train patch-latent table — ~10k images × 196
+patches ≈ 2M rows × 768 dims — with cuML UMAP/HDBSCAN
+(``/root/reference/cluster_latents.py:26-32``).  The exact kNN in
+``analysis.embed.knn_graph`` is O(N²·D): chunked for memory but ~10¹⁸ FLOPs at
+that geometry.  This module is the scalable path: an IVF-style scheme whose
+every hot step is a dense batched matmul (MXU) with static shapes —
+
+1. **Bucketing** — light k-means (random-subset init + a few chunked Lloyd
+   iterations) into C ≈ √N buckets; assignment is the ‖x‖²−2x·c+‖c‖² matmul.
+2. **Bucket-shared probes** — each bucket probes its ``nprobe`` nearest
+   buckets by centroid distance (self included).  Sharing the probe list
+   across a bucket's queries is what makes the rerank a single rectangular
+   matmul per bucket instead of a ragged per-query gather — the TPU trade;
+   per-query probes would be marginally more accurate but unbatchable.
+3. **Exact rerank** — per bucket, a [cap, nprobe·cap] distance block between
+   the bucket's queries and the union of probed buckets' members, exact
+   top-k.  Buckets are padded to the max occupancy with a sentinel row whose
+   coordinates are huge, so pads never win and shapes stay static.
+
+Recall@k vs exact on 20k clustered rows: 0.86 at nprobe=8, 0.96 at 12,
+0.996 at the default 16 (tested ≥ 0.9); ``nprobe`` trades recall for compute.  Cost: O(N·nprobe·cap·D) ≈
+O(N^1.5·nprobe·D) — at the reference's 2M×768 (after PCA → ~50-100 dims this
+drops further) that is ~10¹³ FLOPs, seconds on one chip, vs the exact path's
+~10¹⁸.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = 1e15  # finite stand-in for "no neighbor found" distances
+
+# Distance matmuls MUST run at true f32: the TPU MXU's default f32 precision
+# (bf16-passes) rounds ‖x‖²−2x·yᵀ+‖y‖² at ~0.4% of the squared MAGNITUDE,
+# which swamps in-cluster distance differences and silently corrupts the
+# neighbor ordering (measured: recall@15 0.998 on CPU → 0.18 on TPU at
+# default precision on 24-d clustered data).
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _assign_chunked(x, centers, block: int = 8192):
+    """Nearest-centroid assignment in row chunks → labels [N]."""
+    n = x.shape[0]
+    nb = -(-n // block)
+    xp = jnp.pad(x, ((0, nb * block - n), (0, 0)))
+    c2 = (centers ** 2).sum(1)[None, :]
+
+    def chunk(i):
+        rows = jax.lax.dynamic_slice_in_dim(xp, i * block, block)
+        d2 = ((rows ** 2).sum(1)[:, None]
+              - 2.0 * jnp.matmul(rows, centers.T, precision=_EXACT) + c2)
+        return jnp.argmin(d2, axis=1)
+
+    return jax.lax.map(chunk, jnp.arange(nb)).reshape(-1)[:n]
+
+
+@partial(jax.jit, static_argnames=("n_buckets",))
+def _lloyd_step(x, centers, n_buckets: int):
+    """One Lloyd iteration (empty buckets keep their previous center)."""
+    labels = _assign_chunked(x, centers)
+    onehot_sums = jax.ops.segment_sum(x, labels, num_segments=n_buckets)
+    counts = jax.ops.segment_sum(jnp.ones(x.shape[0], jnp.float32), labels,
+                                 num_segments=n_buckets)
+    new = onehot_sums / jnp.maximum(counts, 1.0)[:, None]
+    return jnp.where(counts[:, None] > 0, new, centers), labels
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _rerank(xp, members, probes, k: int):
+    """Per-bucket exact rerank.
+
+    xp [N+1, D] (last row = huge-coordinate sentinel), members [C, cap]
+    int32 with N marking pads, probes [C, nprobe] → (nbr [C, cap, k] indices
+    into 0..N, dist [C, cap, k]).  One ``lax.map`` step = one bucket: a
+    [cap, nprobe·cap] distance block on the MXU + top-k.
+    """
+    n_sentinel = xp.shape[0] - 1
+
+    def one(c):
+        q_idx = members[c]                                   # [cap]
+        q = xp[q_idx]                                        # [cap, D]
+        cand = members[probes[c]].reshape(-1)                # [nprobe·cap]
+        cx = xp[cand]
+        d2 = ((q ** 2).sum(1)[:, None]
+              - 2.0 * jnp.matmul(q, cx.T, precision=_EXACT)
+              + (cx ** 2).sum(1)[None, :])
+        d2 = jnp.where(cand[None, :] == q_idx[:, None], jnp.inf, d2)  # self
+        d2 = jnp.where(cand[None, :] == n_sentinel, jnp.inf, d2)      # pads
+        neg, pos = jax.lax.top_k(-d2, k)
+        return cand[pos], jnp.sqrt(jnp.maximum(-neg, 0.0))
+
+    return jax.lax.map(one, jnp.arange(members.shape[0]))
+
+
+def approx_knn_graph(
+    x: np.ndarray,
+    k: int = 15,
+    metric: str = "euclidean",
+    nprobe: Optional[int] = None,
+    n_buckets: Optional[int] = None,
+    n_iters: int = 4,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (nbr [N, k] int32, dist [N, k] f32), self excluded — the same
+    contract as :func:`..analysis.embed.knn_graph` up to approximation.
+
+    Entries that could not be filled (fewer than k candidates reachable
+    through the probed buckets — only possible at degenerate geometries)
+    carry index 0 and distance ``BIG``; downstream consumers (mutual-
+    reachability edge masks, fuzzy weights) treat them as absent edges.
+    'cosine' normalizes rows first and returns unit-sphere euclidean
+    distances, exactly like the exact path.
+    """
+    x = np.ascontiguousarray(x, np.float32)
+    n, d = x.shape
+    if metric == "cosine":
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    elif metric != "euclidean":
+        raise ValueError(f"unsupported metric {metric!r}")
+
+    c = n_buckets or max(int(np.sqrt(n)), 4)
+    c = min(c, n)
+    if n <= max(4 * k, 256) or c < 2:
+        # tiny inputs: exact is cheaper than the machinery
+        from .embed import knn_graph
+        nbr, dist = knn_graph(jnp.asarray(x), k)
+        return np.asarray(nbr), np.asarray(dist)
+    if nprobe is None:
+        # a FIXED probe count loses recall as the bucket count grows
+        # (measured: recall@15 0.996 at C=141/nprobe=16 but 0.85 at C=224):
+        # a natural cluster spans ~C/n_clusters buckets and the probed
+        # fraction shrinks.  Default scales probes with C up to a cap of 96
+        # so total rerank work stays O(96·cap·N·D) = O(96·N^1.5·D) —
+        # at large C the probed fraction shrinks again, which is the
+        # standard IVF trade; raise nprobe explicitly for recall-critical
+        # runs.
+        nprobe = min(max(16, c // 8), 96)
+    nprobe = min(nprobe, c)
+
+    xd = jnp.asarray(x)
+    rs = np.random.RandomState(seed)
+    centers = jnp.asarray(x[rs.choice(n, c, replace=False)])
+    for _ in range(n_iters):
+        centers, _ = _lloyd_step(xd, centers, c)
+    labels = np.asarray(_assign_chunked(xd, centers))
+
+    # bucket member table, padded with the sentinel index N.  cap rounds up
+    # to a multiple of 128 (lane width): the raw max occupancy is data- and
+    # seed-dependent, and every distinct cap is a fresh XLA compile of the
+    # rerank — rounding collapses near-identical shapes into one program.
+    order = np.argsort(labels, kind="stable")
+    counts = np.bincount(labels, minlength=c)
+    cap = max(int(counts.max()), 1)
+    cap = ((cap + 127) // 128) * 128
+    members = np.full((c, cap), n, np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for b in range(c):
+        members[b, : counts[b]] = order[starts[b]: starts[b] + counts[b]]
+
+    # bucket-level probe lists by centroid distance (self is at distance 0)
+    cen = np.asarray(centers)
+    cd2 = ((cen ** 2).sum(1)[:, None] - 2.0 * (cen @ cen.T)
+           + (cen ** 2).sum(1)[None, :])
+    probes = np.argsort(cd2, axis=1)[:, :nprobe].astype(np.int32)
+
+    xp = jnp.asarray(np.vstack([x, np.full((1, d), 1e18, np.float32)]))
+    nbr_b, dist_b = _rerank(xp, jnp.asarray(members), jnp.asarray(probes), k)
+    nbr_b, dist_b = np.asarray(nbr_b), np.asarray(dist_b)
+
+    out_nbr = np.zeros((n, k), np.int32)
+    out_dist = np.full((n, k), BIG, np.float32)
+    valid = members < n
+    out_nbr[members[valid]] = nbr_b[valid]
+    out_dist[members[valid]] = dist_b[valid]
+    # unfilled slots (inf from the rerank) → index 0 / BIG
+    bad = ~np.isfinite(out_dist) | (out_nbr >= n)
+    out_nbr[bad] = 0
+    out_dist[bad] = BIG
+    return out_nbr, out_dist
+
+
+def knn_recall(nbr_approx: np.ndarray, nbr_exact: np.ndarray) -> float:
+    """Mean fraction of true k-neighbors recovered per row."""
+    hits = 0
+    for a, b in zip(nbr_approx, nbr_exact):
+        hits += len(np.intersect1d(a, b, assume_unique=False))
+    return hits / nbr_exact.size

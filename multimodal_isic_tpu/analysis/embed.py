@@ -36,11 +36,19 @@ import numpy as np
 from . import pca as PCA
 
 
+# True-f32 distance matmuls: the TPU MXU's default f32 precision rounds the
+# -2x·yᵀ term at ~0.4% of the squared magnitude, corrupting neighbor order
+# for tightly clustered data (see analysis/ann.py::_EXACT for the measured
+# failure).  CPU is unaffected; TPU needs the explicit precision.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
 def _pairwise_sq(x, y=None):
     y = x if y is None else y
     x2 = (x ** 2).sum(1)[:, None]
     y2 = (y ** 2).sum(1)[None, :]
-    return jnp.maximum(x2 - 2.0 * (x @ y.T) + y2, 0.0)
+    return jnp.maximum(
+        x2 - 2.0 * jnp.matmul(x, y.T, precision=_EXACT) + y2, 0.0)
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "block"))
@@ -71,8 +79,9 @@ def knn_graph(x: jnp.ndarray, k: int = 15, metric: str = "euclidean",
 
     def chunk(i):
         rows = jax.lax.dynamic_slice_in_dim(xp, i * block, block)
-        d2 = jnp.maximum((rows ** 2).sum(1)[:, None] - 2.0 * (rows @ x.T) + x2,
-                         0.0)
+        d2 = jnp.maximum(
+            (rows ** 2).sum(1)[:, None]
+            - 2.0 * jnp.matmul(rows, x.T, precision=_EXACT) + x2, 0.0)
         idx = i * block + jnp.arange(block)
         d2 = jnp.where(col == idx[:, None], jnp.inf, d2)
         neg, nbr = jax.lax.top_k(-d2, kk)
@@ -81,6 +90,23 @@ def knn_graph(x: jnp.ndarray, k: int = 15, metric: str = "euclidean",
     nbrs, dists = jax.lax.map(chunk, jnp.arange(nb))
     return (nbrs.reshape(nb * block, kk)[:n],
             dists.reshape(nb * block, kk)[:n])
+
+
+def knn(x, k: int = 15, metric: str = "euclidean", method: str = "exact",
+        **ann_kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """kNN dispatcher: ``method='exact'`` → :func:`knn_graph` (O(N²·D));
+    ``'approx'`` → :func:`..analysis.ann.approx_knn_graph` (IVF-style
+    k-means bucketing + exact rerank, O(N^1.5·D)) — required at the
+    reference's full 2M-row patch-latent table
+    (``cluster_latents.py:26-32``).  ``ann_kwargs`` (nprobe, n_buckets,
+    seed, ...) pass through to the approximate path."""
+    if method == "approx":
+        from .ann import approx_knn_graph
+        nbr, dist = approx_knn_graph(np.asarray(x), k, metric, **ann_kwargs)
+        return jnp.asarray(nbr), jnp.asarray(dist)
+    if method != "exact":
+        raise ValueError(f"method must be exact|approx, got {method!r}")
+    return knn_graph(jnp.asarray(x), k, metric)
 
 
 # ------------------------------------------------------------- embedding
@@ -142,12 +168,15 @@ def _optimize_layout(y0, nbr, w, key, n_epochs: int = 200, n_neg: int = 5,
 def neighbor_embedding(x: np.ndarray, n_components: int = 2,
                        n_neighbors: int = 15, n_epochs: int = 500,
                        metric: str = "euclidean", seed: int = 0,
-                       lr: float = 0.05) -> np.ndarray:
+                       lr: float = 0.05,
+                       knn_method: str = "exact") -> np.ndarray:
     """kNN-graph layout → [N, n_components].  PCA init (scaled to ~1e-1 std,
     the UMAP convention) keeps global structure; the optimization recovers
-    local neighborhoods the linear projection loses."""
+    local neighborhoods the linear projection loses.  ``knn_method='approx'``
+    switches the graph construction to the IVF path for reference-scale
+    tables (see :func:`knn`)."""
     x = np.asarray(x, np.float32)
-    nbr, dist = knn_graph(jnp.asarray(x), n_neighbors, metric)
+    nbr, dist = knn(x, n_neighbors, metric, method=knn_method)
     w = _fuzzy_weights(dist)
     comps = min(n_components, x.shape[1], x.shape[0])
     state = PCA.fit(x, comps)
@@ -192,7 +221,8 @@ def _connected_components(nbr, edge_ok, n_iters: int = 64):
 def density_cluster(x: np.ndarray, min_cluster_size: int = 50,
                     min_samples: int = 10, eps: Optional[float] = None,
                     eps_scale: float = 2.0, k: Optional[int] = None,
-                    metric: str = "euclidean") -> np.ndarray:
+                    metric: str = "euclidean",
+                    knn_method: str = "exact") -> np.ndarray:
     """DBSCAN* over the mutual-reachability graph → labels [N] with -1 noise.
 
     HDBSCAN semantics approximated at a single density level: core distance
@@ -211,7 +241,7 @@ def density_cluster(x: np.ndarray, min_cluster_size: int = 50,
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     kk = k or max(min_samples + 1, 16)
-    nbr, dist = knn_graph(x, min(kk, n - 1), metric)
+    nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method)
     core = _core_distance(dist, min_samples)
     eps = eps_scale * jnp.median(core) if eps is None else jnp.float32(eps)
 
@@ -342,7 +372,8 @@ def _condense_and_select(levels_labels: np.ndarray, lam: np.ndarray,
 def hdbscan_cluster(x: np.ndarray, min_cluster_size: int = 50,
                     min_samples: int = 10, n_levels: int = 24,
                     k: Optional[int] = None, metric: str = "euclidean",
-                    allow_single_cluster: bool = False) -> np.ndarray:
+                    allow_single_cluster: bool = False,
+                    knn_method: str = "exact") -> np.ndarray:
     """Hierarchical density clustering → labels [N] with -1 noise.
 
     The reference's cuML ``HDBSCAN(min_cluster_size=50, min_samples=10)``
@@ -357,15 +388,21 @@ def hdbscan_cluster(x: np.ndarray, min_cluster_size: int = 50,
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     kk = k or max(min_samples + 1, 16)
-    nbr, dist = knn_graph(x, min(kk, n - 1), metric)
+    nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method)
     core = _core_distance(dist, min_samples)
 
     core_np = np.asarray(core)
+    # approx kNN marks unfilled neighbor slots with a huge finite distance
+    # (ann.BIG); such points are unreachable at any sane eps (→ noise) and
+    # must not stretch the ladder
+    finite = core_np[core_np < 1e14]
+    if len(finite) == 0:
+        return np.full(int(n), -1, int)
     # geometric eps ladder spanning every core-distance scale in the data:
     # coarsest level connects nearly everything (root), finest sits below
     # the densest cluster's working level
-    lo = max(float(np.quantile(core_np, 0.05)), 1e-6)
-    hi = max(float(core_np.max()) * 1.5, lo * 2.0)
+    lo = max(float(np.quantile(finite, 0.05)), 1e-6)
+    hi = max(float(finite.max()) * 1.5, lo * 2.0)
     eps_levels = np.geomspace(hi, lo, n_levels).astype(np.float32)
 
     n_iters = max(8, int(np.ceil(np.log2(max(n, 2)))) * 4)

@@ -24,7 +24,12 @@ class KMeansState(NamedTuple):
 def _pairwise_sq(x, c):
     x2 = (x ** 2).sum(1)[:, None]
     c2 = (c ** 2).sum(1)[None, :]
-    return jnp.maximum(x2 - 2.0 * (x @ c.T) + c2, 0.0)
+    # true-f32 matmul: the TPU MXU default precision rounds −2x·cᵀ at ~0.4%
+    # of the squared magnitude, which misassigns points between nearby
+    # centroids (see analysis/ann.py::_EXACT for the measured failure)
+    return jnp.maximum(
+        x2 - 2.0 * jnp.matmul(x, c.T, precision=jax.lax.Precision.HIGHEST)
+        + c2, 0.0)
 
 
 def _kmeanspp_init(key, x, k):

@@ -46,6 +46,11 @@ def main(argv=None) -> None:
     parser.add_argument("--min_samples", type=int, default=10)
     parser.add_argument("--viz_out", type=str, default="",
                         help="prefix for 2-D embedding scatter PNGs")
+    parser.add_argument("--knn_method", choices=["exact", "approx"],
+                        default="exact",
+                        help="approx = IVF k-means bucketing + exact rerank "
+                             "(analysis/ann.py) — required at the reference's "
+                             "full ~2M-row patch table, cluster_latents.py:26")
     args, rest = parser.parse_known_args(argv)
     config = parse_config(rest)
 
@@ -58,7 +63,8 @@ def main(argv=None) -> None:
     comps = min(20, x.shape[1])
     if args.embed == "neighbor":
         emb20 = E.neighbor_embedding(x, n_components=comps,
-                                     seed=config["seed"])
+                                     seed=config["seed"],
+                                     knn_method=args.knn_method)
     elif x.shape[1] > 20:
         emb20 = np.asarray(P.transform(P.fit(x, 20), x))
     else:
@@ -70,7 +76,8 @@ def main(argv=None) -> None:
         fn = (E.hdbscan_cluster if args.clusterer == "density"
               else E.density_cluster)
         clusters = fn(emb20, min_cluster_size=args.min_cluster_size,
-                      min_samples=args.min_samples)
+                      min_samples=args.min_samples,
+                      knn_method=args.knn_method)
         n_noise = int((clusters == -1).sum())
         print(f"Number of clusters found: "
               f"{len(np.unique(clusters[clusters >= 0]))} "
@@ -85,7 +92,8 @@ def main(argv=None) -> None:
         from ..utils.viz import embedding_scatter, interactive_scatter_html
         for metric in ("euclidean", "cosine"):  # cluster_latents.py:175-217
             e2 = E.neighbor_embedding(x, n_components=2, metric=metric,
-                                      seed=config["seed"])
+                                      seed=config["seed"],
+                                      knn_method=args.knn_method)
             t = C.trustworthiness(x, e2)
             path = f"{args.viz_out}_{metric}.png"
             embedding_scatter(e2, y, path,

@@ -90,7 +90,10 @@ def build_knn_adj(x: jnp.ndarray, k: int = 8,
     node gets min(k, n_valid−1) neighbors, invalid rows stay empty."""
     n = x.shape[0]
     x2 = (x ** 2).sum(axis=1)
-    d2 = x2[:, None] + x2[None, :] - 2.0 * (x @ x.T)
+    # true-f32 matmul: TPU MXU default precision can flip near-tie neighbor
+    # choices vs the torch-f32 reference (see analysis/ann.py::_EXACT)
+    d2 = x2[:, None] + x2[None, :] - 2.0 * jnp.matmul(
+        x, x.T, precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(d2, 0.0)
     d2 = d2.at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
     if valid is not None:
