@@ -4,11 +4,15 @@
         [--model_type mil|graph-mil] [--num_samples 1000] [--max_epochs 200] \
         [--patience 16] [--patch_df <pkl>] [--packed auto|always|never]
 
-``--packed auto`` (default) runs the classic-MIL search as vmapped trial
-cohorts with ASHA rungs evaluated inside the packed run — the TPU-native
-form of the reference's fractional-GPU packing + ASHA combination
-(``tune_mil.py:144-149,213-227``).  Graph-MIL's shape-heavy space keeps the
-sequential runner (every trial is its own program anyway).
+``--packed auto`` (default) runs BOTH searches as vmapped trial cohorts with
+ASHA rungs evaluated inside the packed run — the TPU-native form of the
+reference's fractional-GPU packing + ASHA combination
+(``tune_mil.py:144-149,213-227``).  For graph-MIL (the reference's flagship
+1000-sample search, 4 trials/GPU at ``tune_mil.py:33``), the 15
+architecture/topology keys form the cohort shape signature (sampled once per
+cohort) and lr/wd/gnn_dropout/pool_dropout trace per trial; the graph
+adjacency is built once per bag and shared across the cohort.
+``--packed never`` keeps the sequential runner.
 """
 
 from __future__ import annotations
@@ -22,7 +26,8 @@ import yaml
 
 from ..analysis.bags import build_patient_bags
 from ..hpo import ASHAScheduler, GRAPH_MIL_SPACE, MIL_SPACE, run_search
-from ..hpo.population import POP_KEYS, SHAPE_KEYS, run_population_search
+from ..hpo.population import (GRAPH_POP_KEYS, GRAPH_SHAPE_KEYS, POP_KEYS,
+                              SHAPE_KEYS, run_population_search)
 from ..train.mil import train_graph_mil, train_mil
 from .common import parse_config
 
@@ -70,20 +75,24 @@ def main(argv=None) -> None:
                               reduction_factor=args.reduction_factor,
                               max_t=args.max_epochs)
     # the packed path needs the space to split into cohort shape keys +
-    # per-trial continuous keys — true for the classic-MIL space
-    packable = set(space) == set(SHAPE_KEYS) | set(POP_KEYS)
+    # per-trial continuous keys — true for both built-in spaces
+    if args.model_type == "graph-mil":
+        shape_keys, pop_keys = GRAPH_SHAPE_KEYS, GRAPH_POP_KEYS
+    else:
+        shape_keys, pop_keys = SHAPE_KEYS, POP_KEYS
+    packable = set(space) == set(shape_keys) | set(pop_keys)
     use_packed = (args.packed == "always"
                   or (args.packed == "auto" and packable))
     if use_packed and not packable:
         raise SystemExit(f"--packed always: space keys {sorted(space)} do not "
-                         f"split into shape {SHAPE_KEYS} + trial {POP_KEYS}")
+                         f"split into shape {shape_keys} + trial {pop_keys}")
     if use_packed:
         out = run_population_search(
             space, data, num_samples=args.num_samples,
             cohort_size=args.cohort_size, seed=config["seed"],
             max_epochs=args.max_epochs, patience=args.patience,
             num_classes=int(config.get("num_classes", 7)),
-            scheduler=scheduler)
+            scheduler=scheduler, model_type=args.model_type)
         results = out["results"]
         best_config = out["best_config"]
         best_val = float(results["val_bacc"].astype(float).max())

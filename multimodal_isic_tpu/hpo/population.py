@@ -22,7 +22,7 @@ A population member with the same config reproduces the sequential
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,10 +31,41 @@ import numpy as np
 from ..core import metrics as M
 from ..core.splits import StratifiedShuffleSplit, weighted_sample_indices
 from ..models.mil import AttentionMIL, mil_loss
-from .space import sample_config
+from .space import GRAPH_MIL_SPACE, sample_config
 
 SHAPE_KEYS = ("hidden_dim", "att_dim", "optimizer")
 POP_KEYS = ("lr", "weight_decay", "dropout")
+
+# Graph-MIL packing (the reference's flagship 1000-sample search,
+# tune_mil.py:170-200, 4 trials/GPU at :33): the traced per-trial keys are
+# the optimizer hyperparameters and the two dropout rates (GraphMIL accepts
+# them as traced overrides); every architecture/topology key is a cohort
+# shape key.  Sampling shape keys once per cohort guarantees FULL cohorts —
+# bucketing independently-sampled 17-dim configs by shape signature would
+# almost always yield singleton buckets (~1e8 distinct signatures).
+GRAPH_POP_KEYS = ("lr", "weight_decay", "gnn_dropout", "pool_dropout")
+GRAPH_SHAPE_KEYS = tuple(k for k in GRAPH_MIL_SPACE if k not in GRAPH_POP_KEYS)
+
+
+class PackedSpec(NamedTuple):
+    """What the generic packed-cohort engine needs from a model family.
+
+    ``rate_keys``   — per-trial TRACED hyperparameters beyond lr/wd (dropout
+                      rates); order matches the ``rates`` tuple in forward.
+    ``init_params`` — (seed, x0, valid0) → single-trial param tree, exactly
+                      the sequential trainable's init so a cohort member
+                      reproduces the sequential trial.
+    ``forward``     — (params, x, valid, extras, key, rates, train) →
+                      (probs, aux).
+    ``prep_bag``    — (x, valid, key) → per-bag extras shared by ALL trials
+                      (the graph adjacency; None for classic MIL).  Computed
+                      once per bag, NOT once per trial — a cohort-level win
+                      the per-process reference packing cannot have.
+    """
+    rate_keys: tuple
+    init_params: Callable
+    forward: Callable
+    prep_bag: Optional[Callable]
 
 
 def _mil_forward(params, x, valid, key, dropout_rate, train: bool):
@@ -93,8 +124,96 @@ def train_mil_population(
 ) -> List[Dict]:
     """Train P AttentionMIL trials in lockstep.  ``pop`` holds per-trial
     'lr'/'weight_decay'/'dropout' arrays [P]; ``shape_config`` the shared
-    hidden_dim/att_dim/optimizer.  ``report_fn(trial_idx, metrics_dict)`` is
-    called per trial per epoch.  → list of P final-report dicts (the
+    hidden_dim/att_dim/optimizer.  See :func:`_train_population` for the
+    engine semantics (in-cohort ASHA, patience, compaction)."""
+
+    def make_spec(input_dim):
+        model = AttentionMIL(input_dim=input_dim,
+                             hidden_dim=int(shape_config["hidden_dim"]),
+                             att_dim=int(shape_config["att_dim"]),
+                             dropout=0.0, num_classes=num_classes)
+
+        def init_params(seed_, x0, valid0):
+            return model.init({"params": jax.random.PRNGKey(seed_),
+                               "dropout": jax.random.PRNGKey(0)},
+                              x0, valid=valid0)["params"]
+
+        def forward(params, x, valid, extras, key, rates, train):
+            return _mil_forward(params, x, valid, key, rates[0], train)
+
+        return PackedSpec(("dropout",), init_params, forward, None)
+
+    return _train_population(
+        make_spec, shape_config, pop, data, seed=seed,
+        num_classes=num_classes, patience=patience, max_epochs=max_epochs,
+        report_fn=report_fn, scheduler=scheduler, trial_ids=trial_ids)
+
+
+def train_graph_mil_population(
+    shape_config: Dict,
+    pop: Dict[str, np.ndarray],
+    data: Dict,
+    seed: int = 42,
+    num_classes: int = 7,
+    patience: int = 8,
+    max_epochs: int = 50,
+    report_fn=None,
+    scheduler=None,
+    trial_ids: Optional[Sequence[str]] = None,
+) -> List[Dict]:
+    """Train P GraphMIL trials in lockstep — the packed form of the
+    reference's flagship graph search (``tune_mil.py:170-200``, 4 trials per
+    GPU at ``:33``).  ``shape_config`` carries the 15 architecture/topology
+    keys (sampled once per cohort); ``pop`` the per-trial traced
+    lr/weight_decay/gnn_dropout/pool_dropout arrays [P].  The graph adjacency
+    is built ONCE PER BAG and shared across the cohort (same
+    graph_type/k per shape config) — work the reference's per-process packing
+    duplicates 4×."""
+    from ..train.mil import _adj_for_bag, graph_mil_from_config
+
+    def make_spec(input_dim):
+        model = graph_mil_from_config(shape_config, input_dim, num_classes)
+
+        def init_params(seed_, x0, valid0):
+            # exactly train/mil.py::_train_core's graph init (eye adjacency)
+            return model.init({"params": jax.random.PRNGKey(seed_),
+                               "dropout": jax.random.PRNGKey(0)},
+                              x0, jnp.eye(x0.shape[0]), valid=valid0)["params"]
+
+        def prep_bag(x, valid, key):
+            adj = _adj_for_bag(x, valid, shape_config, key)
+            return adj * valid[:, None] * valid[None, :]
+
+        def forward(params, x, valid, adj, key, rates, train):
+            return model.apply({"params": params}, x, adj, valid=valid,
+                               train=train, rngs={"dropout": key},
+                               gnn_dropout_rate=rates[0],
+                               pool_dropout_rate=rates[1])
+
+        return PackedSpec(("gnn_dropout", "pool_dropout"), init_params,
+                          forward, prep_bag)
+
+    return _train_population(
+        make_spec, shape_config, pop, data, seed=seed,
+        num_classes=num_classes, patience=patience, max_epochs=max_epochs,
+        report_fn=report_fn, scheduler=scheduler, trial_ids=trial_ids)
+
+
+def _train_population(
+    make_spec: Callable[[int], PackedSpec],
+    shape_config: Dict,
+    pop: Dict[str, np.ndarray],
+    data: Dict,
+    seed: int = 42,
+    num_classes: int = 7,
+    patience: int = 8,
+    max_epochs: int = 50,
+    report_fn=None,
+    scheduler=None,
+    trial_ids: Optional[Sequence[str]] = None,
+) -> List[Dict]:
+    """Generic packed-cohort trainer.  ``report_fn(trial_idx, metrics_dict)``
+    is called per trial per epoch.  → list of P final-report dicts (the
     ``_train_core`` contract minus the private params entries, plus them).
 
     ``scheduler`` (an :class:`..hpo.asha.ASHAScheduler` or anything with its
@@ -115,7 +234,6 @@ def train_mil_population(
     P0 = P
     lrs = jnp.asarray(pop["lr"], jnp.float32)
     wds = jnp.asarray(pop["weight_decay"], jnp.float32)
-    drops = jnp.asarray(pop["dropout"], jnp.float32)
     decoupled = shape_config.get("optimizer", "adam") == "adamw"
     if trial_ids is None:
         trial_ids = [f"t{t:03d}" for t in range(P)]
@@ -137,23 +255,32 @@ def train_mil_population(
     va_labels = train_labels[va_idx]
 
     input_dim = train_feats[0].shape[1]
-    model = AttentionMIL(input_dim=input_dim,
-                         hidden_dim=int(shape_config["hidden_dim"]),
-                         att_dim=int(shape_config["att_dim"]),
-                         dropout=0.0, num_classes=num_classes)
+    spec = make_spec(input_dim)
+    rates = [jnp.asarray(pop[k], jnp.float32) for k in spec.rate_keys]
+    zero_rates = tuple(jnp.float32(0.0) for _ in spec.rate_keys)
     # one init shared by the cohort — run_search hands every sequential trial
     # the same seed, so this matches the sequential protocol exactly
-    params1 = model.init(
-        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(0)},
-        jnp.asarray(tr_feats[0]), valid=jnp.asarray(tr_valid[0]))["params"]
+    params1 = spec.init_params(seed, jnp.asarray(tr_feats[0]),
+                               jnp.asarray(tr_valid[0]))
     broadcast = lambda a: jnp.broadcast_to(a[None], (P,) + a.shape)
     params = jax.tree_util.tree_map(broadcast, params1)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
     m_state, v_state = zeros, zeros
 
+    if spec.prep_bag is not None:
+        # eval-time extras are deterministic (PRNGKey(0), as the sequential
+        # eval path uses) and shared across trials AND epochs — precompute
+        @jax.jit
+        def prep_all(feats, valid):
+            return jax.vmap(lambda x, v: spec.prep_bag(
+                x, v, jax.random.PRNGKey(0)))(feats, valid)
+        va_extras = prep_all(va_feats, va_valid)
+    else:
+        va_extras = None
+
     @jax.jit
     def train_epoch(params, m_state, v_state, step0, feats, valid, labels,
-                    epoch_key, lrs, wds, drops, tidx):
+                    epoch_key, lrs, wds, rates, tidx):
         n = feats.shape[0]
         keys = jax.random.split(epoch_key, n)
 
@@ -161,13 +288,18 @@ def train_mil_population(
             params, m_state, v_state, step = carry
             x, vmask, y, key = inp
             step = step + 1
+            # per-bag extras (graph adjacency) computed ONCE, shared by the
+            # whole cohort; the bag-level key matches the sequential path's
+            extras = (spec.prep_bag(x, vmask, key)
+                      if spec.prep_bag is not None else None)
             # keys derive from the trial's ORIGINAL index so a trial's
             # dropout stream survives cohort compaction
             trial_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(tidx)
 
-            def one(p, mm, vv, lr, wd, drop, tkey):
+            def one(p, mm, vv, lr, wd, rates_t, tkey):
                 def loss_fn(pp):
-                    probs, _ = _mil_forward(pp, x, vmask, tkey, drop, True)
+                    probs, _ = spec.forward(pp, x, vmask, extras, tkey,
+                                            rates_t, True)
                     return mil_loss(probs, y)
                 loss, g = jax.value_and_grad(loss_fn)(p)
                 new = jax.tree_util.tree_map(
@@ -180,7 +312,7 @@ def train_mil_population(
                 return pick(0), pick(1), pick(2), loss
 
             params, m_state, v_state, losses = jax.vmap(one)(
-                params, m_state, v_state, lrs, wds, drops, trial_keys)
+                params, m_state, v_state, lrs, wds, tuple(rates), trial_keys)
             return (params, m_state, v_state, step), losses
 
         (params, m_state, v_state, step), losses = jax.lax.scan(
@@ -189,30 +321,35 @@ def train_mil_population(
         return params, m_state, v_state, step, losses.mean(axis=0)
 
     @jax.jit
-    def eval_pop(params, feats, valid):
-        def one_trial(p):
-            def one_bag(x, v):
-                probs, _ = _mil_forward(p, x, v, jax.random.PRNGKey(0),
-                                        jnp.float32(0.0), False)
-                return probs
-            return jax.vmap(one_bag)(feats, valid)
-        return jax.vmap(one_trial)(params)  # [P, B, C]
-
-    @jax.jit
     def select(improved, new, old):
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(
                 improved.reshape((-1,) + (1,) * (a.ndim - 1)), a, b), new, old)
 
-    def eval_metrics(params, feats, valid, labels):
-        probs = eval_pop(params, feats, valid)
-        y = jnp.asarray(labels)
-        out = []
-        for t in range(probs.shape[0]):
-            losses = jax.vmap(mil_loss)(probs[t], y)
-            mt = M.evaluate_probs(y, probs[t], num_classes, loss=losses.mean())
-            out.append({k: float(v) for k, v in mt.items()})
-        return out
+    @jax.jit
+    def eval_metrics_dev(params, feats, valid, extras, y):
+        """ONE device program: cohort forward + the full 10-metric bundle for
+        every trial, → dict of [P] arrays.  The metrics library is pure jnp
+        over fixed class axes so it vmaps across the population — one launch
+        and one host readback per epoch instead of P of each."""
+        def one_trial(p):
+            if extras is None:
+                probs = jax.vmap(lambda x, v: spec.forward(
+                    p, x, v, None, jax.random.PRNGKey(0), zero_rates,
+                    False)[0])(feats, valid)
+            else:
+                probs = jax.vmap(lambda x, v, e: spec.forward(
+                    p, x, v, e, jax.random.PRNGKey(0), zero_rates,
+                    False)[0])(feats, valid, extras)
+            losses = jax.vmap(mil_loss)(probs, y)
+            return M.evaluate_probs(y, probs, num_classes, loss=losses.mean())
+        return jax.vmap(one_trial)(params)
+
+    def eval_metrics(params, feats, valid, extras, labels):
+        mt = jax.device_get(
+            eval_metrics_dev(params, feats, valid, extras, jnp.asarray(labels)))
+        p_now = int(next(iter(mt.values())).shape[0])
+        return [{k: float(v[t]) for k, v in mt.items()} for t in range(p_now)]
 
     # per-ORIGINAL-trial bookkeeping (host side, survives compaction)
     best_bacc = np.full(P0, -np.inf)
@@ -246,7 +383,7 @@ def train_mil_population(
         to a power of two with copies of the first live trial, masked out of
         all bookkeeping via phantom=True)."""
         nonlocal params, m_state, v_state, best_bacc_params, best_loss_params
-        nonlocal lrs, wds, drops, orig, tidx, phantom
+        nonlocal lrs, wds, rates, orig, tidx, phantom
         p_new = _next_pow2(len(keep_pos))
         pad = [keep_pos[0]] * (p_new - len(keep_pos))
         sel = np.asarray(list(keep_pos) + pad, np.int32)
@@ -254,7 +391,8 @@ def train_mil_population(
         params, m_state, v_state = take(params), take(m_state), take(v_state)
         best_bacc_params, best_loss_params = (take(best_bacc_params),
                                               take(best_loss_params))
-        lrs, wds, drops = lrs[sel], wds[sel], drops[sel]
+        lrs, wds = lrs[sel], wds[sel]
+        rates = [r[sel] for r in rates]
         tidx = tidx[sel]
         orig = orig[sel]
         phantom = np.zeros(p_new, bool)
@@ -267,9 +405,9 @@ def train_mil_population(
             params, m_state, v_state, step0, tr_feats_d[order],
             tr_valid_d[order], tr_labels[order],
             jax.random.fold_in(jax.random.PRNGKey(seed), epoch),
-            lrs, wds, drops, tidx)
+            lrs, wds, rates, tidx)
 
-        vm = eval_metrics(params, va_feats, va_valid, va_labels)
+        vm = eval_metrics(params, va_feats, va_valid, va_extras, va_labels)
         p_now = len(orig)
         bacc = np.array([m["bacc"] for m in vm])
         loss = np.array([m["loss"] for m in vm])
@@ -327,7 +465,7 @@ def train_mil_population(
 
     need_backfill = [t for t in range(P0) if best_bacc_metrics[t] is None]
     # loop-invariant: one vmapped cohort eval covers every backfilled trial
-    vm_all = (eval_metrics(params, va_feats, va_valid, va_labels)
+    vm_all = (eval_metrics(params, va_feats, va_valid, va_extras, va_labels)
               if need_backfill else None)
     for t in need_backfill:
         pos = int(np.where(orig == t)[0][0]) if t in orig else None
@@ -356,10 +494,12 @@ def train_mil_population(
         full_loss = stack([host_loss_params[t] for t in range(P0)])
         te_feats, te_valid = pad_bags(test_feats, max_n)
         te_feats, te_valid = jnp.asarray(te_feats), jnp.asarray(te_valid)
+        te_extras = (prep_all(te_feats, te_valid)
+                     if spec.prep_bag is not None else None)
         test_bacc_metrics = eval_metrics(full_bacc, te_feats, te_valid,
-                                         test_labels)
+                                         te_extras, test_labels)
         test_loss_metrics = eval_metrics(full_loss, te_feats, te_valid,
-                                         test_labels)
+                                         te_extras, test_labels)
 
     reports = []
     for t in range(P0):
@@ -398,12 +538,18 @@ def run_population_search(
     num_classes: int = 7,
     verbose: bool = True,
     scheduler=None,
+    model_type: str = "mil",
 ) -> Dict:
     """Cohorted search: shape keys are sampled once per cohort (so each
     cohort is a single vmapped program), continuous keys per trial.  Search
     breadth over the continuous keys matches the sequential runner; breadth
     over shape keys is num_samples/cohort_size — the price of packing, the
     same trade the reference makes by capping concurrent trials per GPU.
+
+    ``model_type='graph-mil'`` packs the reference's flagship 17-dim graph
+    search (``tune_mil.py:170-200``): the 15 architecture/topology keys are
+    the cohort shape signature, lr/wd/gnn_dropout/pool_dropout trace per
+    trial.
 
     ``scheduler`` (ASHAScheduler) is SHARED across cohorts: rung cutoffs
     compare every trial seen so far, exactly like Ray's asynchronous rungs
@@ -418,6 +564,13 @@ def run_population_search(
     import pandas as pd
 
     from . import distributed as hdist
+
+    if model_type == "graph-mil":
+        shape_keys, pop_keys = GRAPH_SHAPE_KEYS, GRAPH_POP_KEYS
+        trainer = train_graph_mil_population
+    else:
+        shape_keys, pop_keys = SHAPE_KEYS, POP_KEYS
+        trainer = train_mil_population
 
     ns = hdist.search_namespace()
     rng = np.random.RandomState(seed)
@@ -435,16 +588,16 @@ def run_population_search(
         full = [sample_config(space, rng) for _ in range(P)]
         if c not in mine:
             continue
-        shape_config = {k: full[0][k] for k in SHAPE_KEYS if k in full[0]}
-        pop = {k: np.array([cfg[k] for cfg in full]) for k in POP_KEYS}
-        reports = train_mil_population(
+        shape_config = {k: full[0][k] for k in shape_keys if k in full[0]}
+        pop = {k: np.array([cfg[k] for cfg in full]) for k in pop_keys}
+        reports = trainer(
             shape_config, pop, data, seed=seed, num_classes=num_classes,
             patience=patience, max_epochs=max_epochs,
             scheduler=scheduler,
             trial_ids=[f"cohort{c:03d}_t{t:02d}" for t in range(P)])
         cohort_rows[c] = []
         for t, rep in enumerate(reports):
-            cfg = {**shape_config, **{k: float(pop[k][t]) for k in POP_KEYS}}
+            cfg = {**shape_config, **{k: float(pop[k][t]) for k in pop_keys}}
             row = {"trial_id": f"cohort{c:03d}_t{t:02d}",
                    **{f"config/{k}": v for k, v in cfg.items()},
                    **{k: (float(v) if isinstance(v, (np.floating, np.integer))

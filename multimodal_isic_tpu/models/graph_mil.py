@@ -30,6 +30,21 @@ def _with_self_loops(adj: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(adj, jnp.eye(n, dtype=adj.dtype))
 
 
+def _dropout(module: nn.Module, h: jnp.ndarray, rate, train: bool):
+    """``nn.Dropout`` semantics with a possibly-TRACED rate.
+
+    The packed HPO path (``hpo/population.py``) vmaps a cohort of trials with
+    different dropout rates through ONE program — ``jax.random.bernoulli``
+    accepts a traced probability, ``nn.Dropout``'s static attribute does not.
+    Same math as flax: keep with prob (1-rate), scale kept units by 1/keep.
+    """
+    if not train:
+        return h
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(module.make_rng("dropout"), keep, h.shape)
+    return jnp.where(mask, h / jnp.maximum(keep, 1e-12), 0.0)
+
+
 class GCNLayer(nn.Module):
     out_dim: int
 
@@ -80,7 +95,8 @@ class GATLayer(nn.Module):
     negative_slope: float = 0.2
 
     @nn.compact
-    def __call__(self, x, adj, train: bool = False):
+    def __call__(self, x, adj, train: bool = False, dropout_rate=None):
+        rate = self.dropout if dropout_rate is None else dropout_rate
         n = x.shape[0]
         a = _with_self_loops(adj)
         h = nn.Dense(self.heads * self.out_dim, use_bias=False, name="lin")(x)
@@ -96,7 +112,7 @@ class GATLayer(nn.Module):
         e = nn.leaky_relu(e, self.negative_slope)
         e = jnp.where(a[:, :, None] > 0, e, NEG_INF)
         alpha = jax.nn.softmax(e, axis=1)
-        alpha = nn.Dropout(self.dropout, deterministic=not train)(alpha)
+        alpha = _dropout(self, alpha, rate, train)
         out = jnp.einsum("ijh,jhd->ihd", alpha, h)
         bias_shape = (self.heads * self.out_dim,) if self.concat else (self.out_dim,)
         bias = self.param("bias", nn.initializers.zeros, bias_shape)
@@ -113,7 +129,8 @@ class TransformerConvLayer(nn.Module):
     beta: bool = True
 
     @nn.compact
-    def __call__(self, x, adj, train: bool = False):
+    def __call__(self, x, adj, train: bool = False, dropout_rate=None):
+        rate = self.dropout if dropout_rate is None else dropout_rate
         n = x.shape[0]
         a = _with_self_loops(adj)  # pyg TransformerConv default root_weight via skip
         d = self.out_dim
@@ -123,7 +140,7 @@ class TransformerConvLayer(nn.Module):
         scores = jnp.einsum("ihd,jhd->ijh", q, k) / jnp.sqrt(float(d))
         scores = jnp.where(a[:, :, None] > 0, scores, NEG_INF)
         alpha = jax.nn.softmax(scores, axis=1)
-        alpha = nn.Dropout(self.dropout, deterministic=not train)(alpha)
+        alpha = _dropout(self, alpha, rate, train)
         msg = jnp.einsum("ijh,jhd->ihd", alpha, v)
         skip = nn.Dense(self.heads * d, name="lin_skip")(x).reshape(n, self.heads, d)
         if self.beta:
@@ -162,7 +179,14 @@ class GraphMIL(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
                  valid: Optional[jnp.ndarray] = None,
-                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 train: bool = False,
+                 gnn_dropout_rate=None,
+                 pool_dropout_rate=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``gnn_dropout_rate`` / ``pool_dropout_rate`` optionally override
+        the static attributes with TRACED scalars so a vmapped trial cohort
+        with per-trial dropout shares one program (``hpo/population.py``)."""
+        g_rate = self.gnn_dropout if gnn_dropout_rate is None else gnn_dropout_rate
+        p_rate = self.pool_dropout if pool_dropout_rate is None else pool_dropout_rate
         gnn_type = self.gnn_type.lower()
         h = x
         if self.use_residual and self.input_dim != self.gnn_hidden:
@@ -177,10 +201,12 @@ class GraphMIL(nn.Module):
             elif gnn_type == "transformer":
                 h = TransformerConvLayer(self.gnn_hidden, self.gnn_heads,
                                          self.gnn_concat, self.gnn_dropout,
-                                         name=f"gnn_{i}")(h, adj, train=train)
+                                         name=f"gnn_{i}")(h, adj, train=train,
+                                                          dropout_rate=g_rate)
             elif gnn_type == "gat":
                 h = GATLayer(self.gnn_hidden, self.gnn_heads, self.gnn_concat,
-                             self.gnn_dropout, name=f"gnn_{i}")(h, adj, train=train)
+                             self.gnn_dropout, name=f"gnn_{i}")(
+                                 h, adj, train=train, dropout_rate=g_rate)
             elif gnn_type == "gcn":
                 h = GCNLayer(self.gnn_hidden, name=f"gnn_{i}")(h, adj)
             else:
@@ -188,8 +214,7 @@ class GraphMIL(nn.Module):
             if self.use_layer_norm:
                 h = nn.LayerNorm(name=f"ln_{i}")(h)
             h = nn.relu(h)
-            h = nn.Dropout(self.gnn_dropout, deterministic=not train,
-                           name=f"drop_{i}")(h)
+            h = _dropout(self, h, g_rate, train)
             if self.use_residual and h_prev.shape == h.shape:
                 h = h + h_prev
 
@@ -210,17 +235,17 @@ class GraphMIL(nn.Module):
         if self.classifier_light:
             c = nn.Dense(self.classifier_dim, name="cls_fc1")(z)
             c = nn.relu(c)
-            c = nn.Dropout(self.pool_dropout, deterministic=not train)(c)
+            c = _dropout(self, c, p_rate, train)
             logits = nn.Dense(self.num_classes, name="cls_fc2")(c)
         else:
             c = nn.Dense(self.classifier_dim, name="cls_fc1")(z)
             c = nn.LayerNorm(name="cls_ln1")(c)
             c = nn.relu(c)
-            c = nn.Dropout(self.pool_dropout, deterministic=not train)(c)
+            c = _dropout(self, c, p_rate, train)
             c = nn.Dense(self.classifier_dim // 2, name="cls_fc2")(c)
             c = nn.LayerNorm(name="cls_ln2")(c)
             c = nn.relu(c)
-            c = nn.Dropout(self.pool_dropout / 2, deterministic=not train)(c)
+            c = _dropout(self, c, p_rate / 2, train)
             logits = nn.Dense(self.num_classes, name="cls_fc3")(c)
         probs = jax.nn.softmax(logits, axis=0)
         return probs, attention

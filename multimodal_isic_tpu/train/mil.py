@@ -250,17 +250,28 @@ def train_graph_mil(config: Dict, data: Dict, seed: int = 42,
                     max_epochs: int = 50, report_fn=None) -> Dict:
     input_dim = (data["train_feats"][0].shape[1] if len(data["train_feats"])
                  else data.get("input_dim", 76))
-    model = GraphMIL(input_dim=input_dim,
-                     gnn_type=config.get("gnn_type", "gcn"),
-                     gnn_hidden=int(config.get("gnn_hidden", 128)),
-                     gnn_layers=int(config.get("gnn_layers", 2)),
-                     gnn_dropout=float(config.get("gnn_dropout", 0.0)),
-                     gnn_heads=int(config.get("gnn_heads", 4)),
-                     gnn_concat=bool(config.get("gnn_concat", True)),
-                     att_dim=int(config.get("att_dim", 64)),
-                     pool_dropout=float(config.get("pool_dropout", 0.0)),
-                     classifier_dim=int(config.get("classifier_dim", 64)),
-                     classifier_light=bool(config.get("classifier_light", False)),
-                     num_classes=num_classes)
+    model = graph_mil_from_config(config, input_dim, num_classes)
     return _train_core(model, True, config, data, seed, num_classes,
                        patience, max_epochs, report_fn)
+
+
+def graph_mil_from_config(config: Dict, input_dim: int,
+                          num_classes: int) -> GraphMIL:
+    """GraphMIL built from a sampled 17-dim search config
+    (``tune_mil.py:170-200``) — shared by the sequential trainable and the
+    packed cohort path so both construct the IDENTICAL architecture."""
+    return GraphMIL(input_dim=input_dim,
+                    gnn_type=config.get("gnn_type", "gcn"),
+                    gnn_hidden=int(config.get("gnn_hidden", 128)),
+                    gnn_layers=int(config.get("gnn_layers", 2)),
+                    gnn_dropout=float(config.get("gnn_dropout", 0.0)),
+                    gnn_heads=int(config.get("gnn_heads", 4)),
+                    gnn_concat=bool(config.get("gnn_concat", True)),
+                    att_dim=int(config.get("att_dim", 64)),
+                    att_heads=int(config.get("att_heads", 4)),
+                    pool_dropout=float(config.get("pool_dropout", 0.0)),
+                    classifier_dim=int(config.get("classifier_dim", 64)),
+                    classifier_light=bool(config.get("classifier_light", False)),
+                    use_residual=bool(config.get("use_residual", True)),
+                    use_layer_norm=bool(config.get("use_layer_norm", True)),
+                    num_classes=num_classes)

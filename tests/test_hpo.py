@@ -237,3 +237,94 @@ def test_asha_max_t_completion_not_marked_early_stop(rng):
     for r in reports:
         if r["epochs_run"] < 3:  # genuinely cut at an ASHA rung
             assert r["stopped_early"]
+
+
+# ------------------------------------------------- packed graph-MIL cohorts
+
+GRAPH_SHAPE_CFG = {
+    "gnn_type": "gat", "gnn_hidden": 32, "gnn_layers": 2, "gnn_heads": 2,
+    "gnn_concat": True, "graph_type": "knn", "k_neighbors": 4,
+    "connect_diagonals": False, "att_dim": 16, "att_heads": 2,
+    "classifier_dim": 32, "classifier_light": True, "use_residual": True,
+    "use_layer_norm": True, "optimizer": "adamw",
+}
+
+
+def test_graph_population_member_matches_sequential_trial(rng):
+    """A packed graph-MIL cohort member reproduces the sequential
+    train_graph_mil result for the same config/seed (dropout rates 0 so
+    RNG-stream differences cannot enter) — the VERDICT r3 #2 acceptance
+    criterion for packing the reference's flagship search
+    (tune_mil.py:170-200)."""
+    from multimodal_isic_tpu.hpo.population import train_graph_mil_population
+    from multimodal_isic_tpu.train.mil import train_graph_mil
+
+    data = _mil_bags(rng, n=30)
+    config = {**GRAPH_SHAPE_CFG, "gnn_dropout": 0.0, "pool_dropout": 0.0,
+              "lr": 1e-3, "weight_decay": 1e-5}
+    seq = train_graph_mil(config, data, seed=0, num_classes=3, patience=4,
+                          max_epochs=4)
+
+    pop = {"lr": np.array([1e-3, 1e-4]),
+           "weight_decay": np.array([1e-5, 1e-5]),
+           "gnn_dropout": np.zeros(2), "pool_dropout": np.zeros(2)}
+    reports = train_graph_mil_population(
+        GRAPH_SHAPE_CFG, pop, data, seed=0, num_classes=3, patience=4,
+        max_epochs=4)
+    assert reports[0]["val_bacc"] == pytest.approx(seq["val_bacc"], abs=1e-5)
+    assert reports[0]["val_loss"] == pytest.approx(seq["val_loss"], rel=1e-4)
+    # the lr=1e-4 member is a genuinely different trial
+    assert reports[1]["val_loss"] != pytest.approx(reports[0]["val_loss"],
+                                                   rel=1e-6)
+
+
+def test_graph_population_packing_beats_sequential_wall_clock(rng):
+    """4 graph-MIL trials as ONE vmapped cohort vs 4 sequential trainings
+    (the reference packs 4 trials per GPU, tune_mil.py:33): >=2x wall-clock,
+    the VERDICT r3 #2 measured-win criterion."""
+    import time
+    from multimodal_isic_tpu.hpo.population import (
+        GRAPH_POP_KEYS, train_graph_mil_population)
+    from multimodal_isic_tpu.train.mil import train_graph_mil
+
+    data = _mil_bags(rng, n=30)
+    srng = np.random.RandomState(1)
+    trials = []
+    for _ in range(4):
+        trials.append({k: sample_config(GRAPH_MIL_SPACE, srng)[k]
+                       for k in GRAPH_POP_KEYS})
+
+    t0 = time.time()
+    pop = {k: np.array([t[k] for t in trials]) for k in GRAPH_POP_KEYS}
+    reports = train_graph_mil_population(
+        GRAPH_SHAPE_CFG, pop, data, seed=1, num_classes=3, patience=5,
+        max_epochs=5)
+    pop_s = time.time() - t0
+    assert len(reports) == 4
+    assert all(np.isfinite(r["val_bacc"]) for r in reports)
+
+    t0 = time.time()
+    for t in trials:
+        train_graph_mil({**GRAPH_SHAPE_CFG, **t}, data, seed=1, num_classes=3,
+                        patience=5, max_epochs=5)
+    seq_s = time.time() - t0
+    print(f"graph population {pop_s:.1f}s vs sequential {seq_s:.1f}s "
+          f"({seq_s / pop_s:.1f}x)")
+    assert seq_s / pop_s >= 2.0
+
+
+def test_graph_population_search_end_to_end(rng):
+    """run_population_search(model_type='graph-mil') samples the 17-dim
+    space, packs cohorts, and returns a best config carrying both shape and
+    traced keys — the cli.tune_mil --packed auto route for graph-MIL."""
+    from multimodal_isic_tpu.hpo.population import run_population_search
+
+    data = _mil_bags(rng, n=24)
+    out = run_population_search(GRAPH_MIL_SPACE, data, num_samples=4,
+                                cohort_size=4, seed=2, max_epochs=2,
+                                patience=2, num_classes=3, verbose=False,
+                                model_type="graph-mil")
+    assert len(out["results"]) == 4
+    assert set(out["best_config"]) >= {"gnn_type", "gnn_layers", "lr",
+                                       "gnn_dropout", "pool_dropout"}
+    assert np.isfinite(out["results"]["val_bacc"].astype(float)).all()
