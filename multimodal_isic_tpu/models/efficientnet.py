@@ -137,6 +137,22 @@ def drop_connect(x: jnp.ndarray, rate: float, deterministic: bool,
     return x / keep * mask
 
 
+class _ConvParams(nn.Module):
+    """Declares an ``nn.Conv``-compatible kernel/bias (same names, shapes,
+    initializers) WITHOUT computing the convolution, so the fused Pallas
+    serving kernels can consume the raw folded weights while staying
+    checkpoint-compatible with the ``fold_batchnorm`` param layout."""
+    kernel_shape: Tuple[int, int, int, int]  # HWIO (depthwise: I=1)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       self.kernel_shape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.kernel_shape[-1],), jnp.float32)
+        return k, b
+
+
 class MBConv(nn.Module):
     expand_ratio: int
     kernel: int
@@ -146,6 +162,10 @@ class MBConv(nn.Module):
     drop_rate: float
     dtype: jnp.dtype = jnp.float32
     bn_folded: bool = False  # inference-only: BN pre-folded into conv weights
+    conv_fission: bool = False  # break XLA's expand→depthwise mega-fusion
+    # (see EfficientNet.conv_fission)
+    pallas_serving: bool = False  # fused expand→dw→silu→SE-pool Pallas path
+    # for fitting stride-1 blocks (see EfficientNet.pallas_serving)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -160,25 +180,66 @@ class MBConv(nn.Module):
                 use_running_average=not train, epsilon=BN_EPS, momentum=0.99,
                 dtype=self.dtype, name=name)
         use_bias = self.bn_folded
-        if self.expand_ratio != 1:
-            x = nn.Conv(mid, (1, 1), use_bias=use_bias, dtype=self.dtype,
-                        name="expand_conv")(x)
-            # checkpoint_name tags mark conv outputs as the ONLY saved
-            # residuals under EfficientNet(remat="conv"): backward recomputes
-            # the cheap BN/silu/SE elementwise chains instead of storing
-            # their full-size outputs — byte-traffic relief for the
-            # HBM-bandwidth-bound train step (identity when unrematted).
+
+        # Fused serving path: one Pallas pass for [expand 1×1 → silu →]
+        # depthwise K×K → silu → SE global pool, the expand intermediate
+        # VMEM-resident (ops/fused_dwconv.py).  Init always takes the
+        # nn.Conv branch below (params are path-independent; Pallas never
+        # lowers during init), and the dispatch is per-block at trace time.
+        fused = (self.bn_folded and self.pallas_serving and self.stride == 1
+                 and not self.is_initializing())
+        if fused:
+            from ..ops.fused_dwconv import (
+                dw_silu_pool, expand_dw_silu_pool, fits_pallas_dw,
+                fits_pallas_expand_dw)
+            h_in, w_in = x.shape[1], x.shape[2]
+            if self.expand_ratio != 1:
+                fused = fits_pallas_expand_dw(h_in, w_in, self.in_filters,
+                                              mid, self.kernel, self.stride,
+                                              self.dtype)
+            else:
+                fused = fits_pallas_dw(h_in, w_in, mid, self.kernel,
+                                       self.stride, self.dtype)
+        if fused:
+            interpret = jax.default_backend() != "tpu"
+            kk = (self.kernel, self.kernel, 1, mid)
+            if self.expand_ratio != 1:
+                we, be = _ConvParams((1, 1, self.in_filters, mid),
+                                     name="expand_conv")()
+                wd, bd = _ConvParams(kk, name="depthwise_conv")()
+                x, pool = expand_dw_silu_pool(
+                    x.astype(self.dtype), we.astype(self.dtype), be,
+                    wd.astype(self.dtype), bd, interpret=interpret)
+            else:
+                wd, bd = _ConvParams(kk, name="depthwise_conv")()
+                x, pool = dw_silu_pool(x.astype(self.dtype),
+                                       wd.astype(self.dtype), bd,
+                                       interpret=interpret)
+            se = pool.reshape(pool.shape[0], 1, 1, mid).astype(self.dtype)
+        else:
+            if self.expand_ratio != 1:
+                x = nn.Conv(mid, (1, 1), use_bias=use_bias, dtype=self.dtype,
+                            name="expand_conv")(x)
+                # checkpoint_name tags mark conv outputs as the ONLY saved
+                # residuals under EfficientNet(remat="conv"): backward
+                # recomputes the cheap BN/silu/SE elementwise chains instead
+                # of storing their full-size outputs — byte-traffic relief
+                # for the HBM-bandwidth-bound train step (identity when
+                # unrematted).
+                x = checkpoint_name(x, "mbconv_conv_out")
+                x = nn.silu(bn("bn0")(x))
+                if self.conv_fission:
+                    x = jax.lax.optimization_barrier(x)
+            x = DepthwiseConv(mid, (self.kernel, self.kernel),
+                              stride=self.stride, padding="SAME",
+                              use_bias=use_bias, dtype=self.dtype,
+                              name="depthwise_conv")(x)
             x = checkpoint_name(x, "mbconv_conv_out")
-            x = nn.silu(bn("bn0")(x))
-        x = DepthwiseConv(mid, (self.kernel, self.kernel), stride=self.stride,
-                          padding="SAME", use_bias=use_bias,
-                          dtype=self.dtype, name="depthwise_conv")(x)
-        x = checkpoint_name(x, "mbconv_conv_out")
-        x = nn.silu(bn("bn1")(x))
+            x = nn.silu(bn("bn1")(x))
+            se = jnp.mean(x, axis=(1, 2), keepdims=True)
 
         # squeeze-excite on the *input* channel count ratio
         se_ch = max(1, int(self.in_filters * SE_RATIO))
-        se = jnp.mean(x, axis=(1, 2), keepdims=True)
         se = nn.Conv(se_ch, (1, 1), dtype=self.dtype, name="se_reduce")(se)
         se = nn.Conv(mid, (1, 1), dtype=self.dtype, name="se_expand")(nn.silu(se))
         x = x * jax.nn.sigmoid(se)
@@ -219,6 +280,26 @@ class EfficientNet(nn.Module):
     # deleting the per-element scale/shift from the VPU-bound forward.
     # Param tree changes (convs gain 'bias', bn layers disappear); training
     # is not supported in this variant (there are no batch stats to update).
+    conv_fission: bool = False  # place an optimization_barrier between each
+    # MBConv's expand-conv(+silu) and its depthwise conv.  The r4 serving
+    # trace shows XLA mega-fusing expand→depthwise→SE-pool into single ops
+    # that run at only 7-16 TFLOP/s with 0% DMA stall (the small-contraction
+    # expand matmul and the VPU depthwise serialize inside one loop), while
+    # the pure-conv fusions of the same graph hit 27-55 TFLOP/s.  The barrier
+    # forces separate, individually-scheduled convolutions at the price of an
+    # extra HBM round-trip for the expand output.  Semantics-free (identity).
+    # MEASURED NEGATIVE (r4, bs=512 bf16 folded serving): 0.944× — the HBM
+    # round-trip costs more than the in-fusion recompute.  Kept as an A/B
+    # flag; the win lives in `pallas_serving` instead.
+    pallas_serving: bool = False  # requires bn_folded: route fitting
+    # stride-1 MBConv blocks through the fused Pallas serving kernels
+    # (ops/fused_dwconv.py) — expand matmul computed once into VMEM scratch,
+    # depthwise+silu over scratch, SE pool from the same pass.  Stride-2 and
+    # VMEM-oversize blocks keep the XLA path; param tree unchanged.
+    # MEASURED NEGATIVE (r4, bs=512 bf16 folded serving): 0.49× end-to-end —
+    # every fused block is slower than XLA's own mega-fusion (per-block
+    # table + analysis in ops/fused_dwconv.py).  Kept as an A/B flag with
+    # equivalence tests; the serving default stays on the XLA path.
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -259,6 +340,8 @@ class EfficientNet(nn.Module):
             x = run_block(MBConv(expand, kernel, stride, cin, cout,
                                  drop_rate=self.drop_connect_rate * i / n,
                                  dtype=self.dtype, bn_folded=self.bn_folded,
+                                 conv_fission=self.conv_fission,
+                                 pallas_serving=self.pallas_serving,
                                  name=f"block_{i}"), x)
 
         head = round_filters(1280, width)

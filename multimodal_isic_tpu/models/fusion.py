@@ -86,6 +86,12 @@ class MultiModalFusionNet(nn.Module):
     backbone_remat: str = "none"  # EfficientNet.remat: 'none'|'conv'|'block'
     backbone_bn_folded: bool = False  # inference-only: backbone BN pre-folded
     # into conv weights (see efficientnet.fold_batchnorm / fold_fusion_params)
+    backbone_conv_fission: bool = False  # split XLA's expand→depthwise
+    # mega-fusions in the backbone (see EfficientNet.conv_fission —
+    # measured 0.944× r4, kept for A/B)
+    backbone_pallas_serving: bool = False  # fused Pallas MBConv serving
+    # kernels in the backbone; requires backbone_bn_folded.  Measured 0.49×
+    # r4 — kept for A/B (see EfficientNet.pallas_serving)
 
     @nn.compact
     def __call__(self, image=None, radiomics=None, age=None, sex=None,
@@ -109,6 +115,8 @@ class MultiModalFusionNet(nn.Module):
                     self.backbone, dtype=self.dtype,
                     remat=self.backbone_remat,
                     bn_folded=self.backbone_bn_folded,
+                    conv_fission=self.backbone_conv_fission,
+                    pallas_serving=self.backbone_pallas_serving,
                     name="image_model")(image, train=train)
             feat = ProjMlp(256, SHARED_DIM, 0.3, 0.2, name="image_proj")(
                 image_features, train=train)
