@@ -36,6 +36,73 @@ def resize_nearest(mask: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(mask, out_hw, method="nearest")
 
 
+@functools.lru_cache(maxsize=32)
+def _bilinear_matrix(n_in: int, n_out: int):
+    """Dense [n_out, n_in] NUMPY f32 matrix of the half-pixel-center 2-tap
+    bilinear weights (antialias=False, edge-clamped) — each row holds the
+    two weights cv2.INTER_LINEAR / ``jax.image.resize(method='linear')``
+    uses for that output coordinate, so ``W @ x`` IS the 1-D resize.
+    Returns numpy (NOT jnp): the cache is shared across jit traces, and a
+    jnp array created inside a trace is a tracer — caching it would leak."""
+    import numpy as np
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    # clamp the RAW tap indices independently: for src < 0 (upscale left
+    # edge) both taps collapse onto pixel 0 with total weight 1 — the
+    # edge-replicate rule cv2/jax.image.resize use
+    lo_raw = np.floor(src).astype(np.int64)
+    lo = np.clip(lo_raw, 0, n_in - 1)
+    hi = np.clip(lo_raw + 1, 0, n_in - 1)
+    frac = src - lo_raw
+    w = np.zeros((n_out, n_in), np.float64)
+    w[np.arange(n_out), lo] += 1.0 - frac
+    w[np.arange(n_out), hi] += frac
+    return np.asarray(w, np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "dtype"))
+def resize_bilinear_mxu(imgs: jnp.ndarray, out_hw: Tuple[int, int],
+                        dtype=jnp.float32) -> jnp.ndarray:
+    """Batched bilinear resize as two dense matmuls on the MXU.
+
+    ``jax.image.resize`` lowers the static 450→380 serving resize to 2-tap
+    XLA loop fusions that run "Compute"-bound at only 191-298 GB/s (r4
+    trace: 11.6 ms of the 158 ms bs=512 serving step).  Expressing the same
+    separable resize as ``A_h @ X @ A_wᵀ`` with the 2-tap weights embedded
+    in dense banded matrices moves the work to the MXU, where ~225× the
+    FLOPs run ~10× faster end-to-end.  ``dtype=bf16`` halves the
+    intermediate bytes and doubles the matmul rate — the serving path's
+    choice (the backbone computes in bf16 anyway); f32 matches
+    ``resize_bilinear`` to float tolerance.
+
+    imgs [B, H, W, C] (any real dtype incl. uint8) → [B, h, w, C] in
+    ``dtype``.
+    """
+    h_out, w_out = out_hw
+    _, h_in, w_in, _ = imgs.shape
+    wh = jnp.asarray(_bilinear_matrix(h_in, h_out), dtype)   # [h_out, H]
+    ww = jnp.asarray(_bilinear_matrix(w_in, w_out), dtype)   # [w_out, W]
+    x = imgs.astype(dtype)
+    # contract H: [h_out, H] × [B, H, W, C] → [B, h_out, W, C]
+    t = jnp.einsum("oh,bhwc->bowc", wh, x)
+    # contract W: [w_out, W] × [B, h_out, W, C] → [B, h_out, w_out, C]
+    return jnp.einsum("ow,bhwc->bhoc", ww, t)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "dtype"))
+def preprocess_eval_batch(imgs_u8: jnp.ndarray, out_hw: Tuple[int, int],
+                          dtype=jnp.float32) -> jnp.ndarray:
+    """Device-side eval/serving preprocess: uint8 batch → MXU resize →
+    ImageNet normalize, entirely in ``dtype`` (the per-channel affine fuses
+    into the second resize matmul's epilogue).  Matches
+    ``normalize_imagenet(resize_bilinear(x))`` — the reference's
+    deterministic eval transform (``main.py:88-94``) — to interpolation/
+    ``dtype`` tolerance."""
+    y = resize_bilinear_mxu(imgs_u8, out_hw, dtype=dtype)
+    mean = jnp.asarray(IMAGENET_MEAN, dtype) * jnp.asarray(255.0, dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype) * jnp.asarray(255.0, dtype)
+    return (y - mean) / std
+
+
 def normalize_imagenet(img: jnp.ndarray,
                        mean: Tuple[float, ...] = IMAGENET_MEAN,
                        std: Tuple[float, ...] = IMAGENET_STD) -> jnp.ndarray:

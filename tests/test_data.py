@@ -147,6 +147,47 @@ def test_eval_transform_matches_cv2_resize():
     assert np.abs(ours - theirs).max() < 1.0  # sub-LSB agreement on uint8 scale
 
 
+def test_resize_bilinear_mxu_matches_gather_path():
+    """The MXU matmul resize (r4 serving-preproc speedup) is the SAME
+    2-tap half-pixel bilinear as resize_bilinear / cv2.INTER_LINEAR."""
+    import cv2
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (3, 45, 45, 3), np.uint8)
+    ours = np.asarray(augment.resize_bilinear_mxu(jnp.asarray(imgs),
+                                                  (38, 38)))
+    ref = np.asarray(jax.vmap(lambda im: augment.resize_bilinear(
+        im, (38, 38)))(jnp.asarray(imgs, jnp.float32)))
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+    theirs = cv2.resize(imgs[1].astype(np.float32), (38, 38),
+                        interpolation=cv2.INTER_LINEAR)
+    assert np.abs(ours[1] - theirs).max() < 1.0
+    # upscale direction too
+    up = np.asarray(augment.resize_bilinear_mxu(jnp.asarray(imgs), (60, 50)))
+    upref = np.asarray(jax.vmap(lambda im: augment.resize_bilinear(
+        im, (60, 50)))(jnp.asarray(imgs, jnp.float32)))
+    np.testing.assert_allclose(up, upref, atol=2e-3)
+    # every weight row is a convex 2-tap combination
+    w = np.asarray(augment._bilinear_matrix(45, 38))
+    np.testing.assert_allclose(w.sum(1), 1.0, atol=1e-6)
+    assert ((w > 0).sum(1) <= 2).all() and (w >= 0).all()
+
+
+def test_preprocess_eval_batch_matches_two_step_and_bf16_is_close():
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 256, (2, 45, 45, 3), np.uint8)
+    ref = jax.vmap(lambda im: augment.normalize_imagenet(
+        augment.resize_bilinear(im, (38, 38))))(jnp.asarray(imgs, jnp.float32))
+    got = augment.preprocess_eval_batch(jnp.asarray(imgs), (38, 38))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    # bf16 serving variant: same transform within bf16 resolution (the
+    # normalized range is roughly -2.2..2.7, so 0.05 ≈ a few bf16 ULPs)
+    gb = augment.preprocess_eval_batch(jnp.asarray(imgs), (38, 38),
+                                       dtype=jnp.bfloat16)
+    assert gb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(gb, np.float32), np.asarray(ref),
+                               atol=0.05)
+
+
 def test_normalize_imagenet_matches_albumentations_formula():
     img = jnp.full((4, 4, 3), 128.0)
     out = np.asarray(augment.normalize_imagenet(img))
