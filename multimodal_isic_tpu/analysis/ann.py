@@ -187,9 +187,17 @@ def approx_knn_graph(
     return out_nbr, out_dist
 
 
-def knn_recall(nbr_approx: np.ndarray, nbr_exact: np.ndarray) -> float:
-    """Mean fraction of true k-neighbors recovered per row."""
+def knn_recall(nbr_approx: np.ndarray, nbr_exact: np.ndarray,
+               dist_approx: Optional[np.ndarray] = None) -> float:
+    """Mean fraction of true k-neighbors recovered per row.
+
+    Pass ``dist_approx`` (the distances returned alongside ``nbr_approx``)
+    so unfilled sentinel slots (index 0 / distance ``BIG``) count as misses —
+    without it, a filler index 0 would score as a hit on exactly the rows
+    where the approximation failed, whenever 0 is a true neighbor."""
     hits = 0
-    for a, b in zip(nbr_approx, nbr_exact):
+    for r, (a, b) in enumerate(zip(nbr_approx, nbr_exact)):
+        if dist_approx is not None:
+            a = a[dist_approx[r] < BIG]
         hits += len(np.intersect1d(a, b, assume_unique=False))
     return hits / nbr_exact.size

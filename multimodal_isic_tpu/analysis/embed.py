@@ -125,10 +125,17 @@ def _core_distance(dist: jnp.ndarray, min_samples: int) -> jnp.ndarray:
 def _fuzzy_weights(dist: jnp.ndarray) -> jnp.ndarray:
     """UMAP-style local kernel: w = exp(-(d - rho)/sigma), rho = nearest
     distance, sigma = mean excess distance (a cheap closed form standing in
-    for UMAP's per-point binary search)."""
-    rho = dist[:, :1]
-    sigma = jnp.maximum((dist - rho).mean(axis=1, keepdims=True), 1e-6)
-    return jnp.exp(-jnp.maximum(dist - rho, 0.0) / sigma)
+    for UMAP's per-point binary search).  Approx-kNN sentinel slots
+    (``ann.BIG`` distances on rows the probe lists couldn't fill) are absent
+    edges: weight 0, excluded from rho/sigma so one sentinel can't inflate
+    the local scale and flatten the real neighbors' weights."""
+    valid = dist < 1e14
+    rho = jnp.where(valid[:, :1], dist[:, :1], 0.0)
+    excess = jnp.maximum(dist - rho, 0.0)
+    denom = jnp.maximum(valid.sum(axis=1, keepdims=True), 1)
+    sigma = jnp.maximum(
+        jnp.where(valid, excess, 0.0).sum(axis=1, keepdims=True) / denom, 1e-6)
+    return jnp.where(valid, jnp.exp(-excess / sigma), 0.0)
 
 
 @partial(jax.jit, static_argnames=("n_epochs", "n_neg"))
@@ -243,7 +250,19 @@ def density_cluster(x: np.ndarray, min_cluster_size: int = 50,
     kk = k or max(min_samples + 1, 16)
     nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method)
     core = _core_distance(dist, min_samples)
-    eps = eps_scale * jnp.median(core) if eps is None else jnp.float32(eps)
+    if eps is None:
+        # approx kNN marks unfilled neighbor slots with a huge finite
+        # distance (ann.BIG); a BIG core distance means the point is
+        # unreachable at any sane density level (→ noise below), and it must
+        # not poison the median that sets the level (same guard as
+        # hdbscan_cluster's eps grid).
+        core_np = np.asarray(core)
+        finite = core_np[core_np < 1e14]
+        if len(finite) == 0:
+            return np.full(n, -1, int)
+        eps = jnp.float32(eps_scale * np.median(finite))
+    else:
+        eps = jnp.float32(eps)
 
     mreach = jnp.maximum(dist, jnp.maximum(core[:, None], core[nbr]))
     is_core = core <= eps

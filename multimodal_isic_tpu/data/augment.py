@@ -82,10 +82,16 @@ def resize_bilinear_mxu(imgs: jnp.ndarray, out_hw: Tuple[int, int],
     wh = jnp.asarray(_bilinear_matrix(h_in, h_out), dtype)   # [h_out, H]
     ww = jnp.asarray(_bilinear_matrix(w_in, w_out), dtype)   # [w_out, W]
     x = imgs.astype(dtype)
+    # f32 must actually deliver the documented resize_bilinear parity: the
+    # MXU's default f32 matmul rounds inputs through bf16 passes (~0.4% of
+    # magnitude ≈ one uint8 LSB), so request full precision there.  The bf16
+    # serving path keeps the native rate — bf16 rounding is the contract.
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
     # contract H: [h_out, H] × [B, H, W, C] → [B, h_out, W, C]
-    t = jnp.einsum("oh,bhwc->bowc", wh, x)
+    t = jnp.einsum("oh,bhwc->bowc", wh, x, precision=prec)
     # contract W: [w_out, W] × [B, h_out, W, C] → [B, h_out, w_out, C]
-    return jnp.einsum("ow,bhwc->bhoc", ww, t)
+    return jnp.einsum("ow,bhwc->bhoc", ww, t, precision=prec)
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "dtype"))

@@ -171,6 +171,17 @@ def train_graph_mil_population(
     duplicates 4×."""
     from ..train.mil import _adj_for_bag, graph_mil_from_config
 
+    if shape_config.get("graph_type") == "random":
+        # grid/knn graphs are a deterministic function of the bag, so
+        # sharing one adjacency across the cohort is exact; a 'random'
+        # topology must be drawn independently per trial (as the sequential
+        # train_graph_mil does) — sharing it would silently correlate the
+        # cohort.  The reference's search space is {grid, knn}
+        # (tune_mil.py:180), so packed search never needs this.
+        raise ValueError(
+            "graph_type='random' cannot run packed: the cohort would share "
+            "one topology draw. Use the sequential runner for random graphs.")
+
     def make_spec(input_dim):
         model = graph_mil_from_config(shape_config, input_dim, num_classes)
 

@@ -23,7 +23,7 @@ def test_recall_at_15_on_clustered_data(rng):
     x, _ = _clustered(rng, 20_000)
     nbr_a, dist_a = approx_knn_graph(x, k=15)
     nbr_e, dist_e = knn_graph(jnp.asarray(x), k=15)
-    rec = knn_recall(nbr_a, np.asarray(nbr_e))
+    rec = knn_recall(nbr_a, np.asarray(nbr_e), dist_approx=dist_a)
     assert rec >= 0.9, f"recall@15 = {rec:.3f}"
     # distances of recovered neighbors are EXACT (rerank is exact)
     row = nbr_a[0]
@@ -32,6 +32,71 @@ def test_recall_at_15_on_clustered_data(rng):
     for i, d in zip(row, dist_a[0]):
         if int(i) in true:
             assert float(d) == pytest.approx(true[int(i)], abs=1e-4)
+
+
+def test_knn_recall_excludes_filler_slots():
+    """Unfilled sentinel slots (index 0 / dist BIG) must count as misses —
+    index 0 may be a GENUINE neighbor of the row, and without the distance
+    mask the filler would score a hit on exactly the rows where the
+    approximation failed."""
+    from multimodal_isic_tpu.analysis.ann import BIG
+
+    nbr_exact = np.array([[0, 2, 3]])
+    nbr_approx = np.array([[2, 0, 0]])          # slots 1-2 are fillers
+    dist_approx = np.array([[1.0, BIG, BIG]])
+    # naive (no distances): the filler 0 matches true neighbor 0 → 2/3
+    assert knn_recall(nbr_approx, nbr_exact) == pytest.approx(2 / 3)
+    # masked: only the real hit (index 2) counts → 1/3
+    assert knn_recall(nbr_approx, nbr_exact,
+                      dist_approx=dist_approx) == pytest.approx(1 / 3)
+
+
+def test_fuzzy_weights_ignore_sentinel_slots():
+    """A BIG sentinel slot must get weight 0 and must not inflate the local
+    sigma (which would flatten the real neighbors' weights toward 1)."""
+    from multimodal_isic_tpu.analysis.ann import BIG
+    from multimodal_isic_tpu.analysis.embed import _fuzzy_weights
+
+    clean = np.array([[1.0, 2.0, 3.0]], np.float32)
+    dirty = np.array([[1.0, 2.0, 3.0, BIG]], np.float32)
+    w_clean = np.asarray(_fuzzy_weights(jnp.asarray(clean)))
+    w_dirty = np.asarray(_fuzzy_weights(jnp.asarray(dirty)))
+    assert w_dirty[0, 3] == 0.0
+    np.testing.assert_allclose(w_dirty[0, :3], w_clean[0], rtol=1e-6)
+    # fully-unfilled row → every edge absent
+    all_bad = np.full((1, 4), BIG, np.float32)
+    assert (np.asarray(_fuzzy_weights(jnp.asarray(all_bad))) == 0).all()
+
+
+def test_density_cluster_sentinel_cores_become_noise(rng, monkeypatch):
+    """Rows whose core distance is the approx-kNN sentinel must not poison
+    the auto-eps (median over FINITE cores only) and must end up noise."""
+    from multimodal_isic_tpu.analysis import embed
+    from multimodal_isic_tpu.analysis.ann import BIG
+
+    x, _ = _clustered(rng, 600, d=8, n_clusters=2, spread=0.05)
+    real_knn = embed.knn
+
+    def poisoned(xd, k, metric="euclidean", method="exact"):
+        nbr, dist = real_knn(xd, k, metric)
+        nbr, dist = np.asarray(nbr).copy(), np.asarray(dist).copy()
+        dist[:50] = BIG          # 50 rows: every neighbor slot unfilled
+        nbr[:50] = 0
+        return jnp.asarray(nbr), jnp.asarray(dist)
+
+    monkeypatch.setattr(embed, "knn", poisoned)
+    lab = embed.density_cluster(x, min_cluster_size=50, min_samples=5)
+    assert (lab[:50] == -1).all()          # unreachable rows are noise
+    assert len(set(lab) - {-1}) == 2       # blobs still found, not one glob
+
+
+def test_packed_graph_mil_rejects_random_topology():
+    """'random' graphs must be drawn per trial (sequential path); sharing one
+    cohort draw would silently correlate the trials."""
+    from multimodal_isic_tpu.hpo.population import train_graph_mil_population
+
+    with pytest.raises(ValueError, match="random"):
+        train_graph_mil_population({"graph_type": "random"}, {}, {})
 
 
 def test_contract_invariants(rng):
