@@ -14,10 +14,14 @@ every hot step is a dense batched matmul (MXU) with static shapes —
    across a bucket's queries is what makes the rerank a single rectangular
    matmul per bucket instead of a ragged per-query gather — the TPU trade;
    per-query probes would be marginally more accurate but unbatchable.
-3. **Exact rerank** — per bucket, a [cap, nprobe·cap] distance block between
-   the bucket's queries and the union of probed buckets' members, exact
-   top-k.  Buckets are padded to the max occupancy with a sentinel row whose
-   coordinates are huge, so pads never win and shapes stay static.
+3. **Exact rerank** — per bucket, [cap, cap] distance blocks between the
+   bucket's queries and each probed bucket's members, folded into a running
+   top-k (``lax.scan`` over probes, so memory never holds the full
+   [cap, nprobe·cap] block).  Buckets are padded to the max occupancy with a
+   sentinel row whose coordinates are huge, so pads never win and shapes
+   stay static; occupancy itself is hard-capped at 2× the mean by splitting
+   oversized buckets (``_balance_buckets``), so the padding factor — which
+   multiplies both memory and compute — is bounded on skewed data.
 
 Recall@k vs exact on 20k clustered rows: 0.86 at nprobe=8, 0.96 at 12,
 0.996 at the default 16 (tested ≥ 0.9); ``nprobe`` trades recall for compute.  Cost: O(N·nprobe·cap·D) ≈
@@ -75,29 +79,80 @@ def _lloyd_step(x, centers, n_buckets: int):
 
 @partial(jax.jit, static_argnames=("k",))
 def _rerank(xp, members, probes, k: int):
-    """Per-bucket exact rerank.
+    """Per-bucket exact rerank, streamed over probe buckets.
 
     xp [N+1, D] (last row = huge-coordinate sentinel), members [C, cap]
     int32 with N marking pads, probes [C, nprobe] → (nbr [C, cap, k] indices
-    into 0..N, dist [C, cap, k]).  One ``lax.map`` step = one bucket: a
-    [cap, nprobe·cap] distance block on the MXU + top-k.
+    into 0..N, dist [C, cap, k]).  One ``lax.map`` step = one bucket; inside
+    it a ``lax.scan`` folds one probed bucket at a time into a running
+    top-k, so live memory is one [cap, cap] distance block (plus the
+    [cap, k] state) instead of the full [cap, nprobe·cap] block — which at
+    the reference's 2M-row geometry is the difference between ~35 MB and an
+    unallocatable 40 GB.  Candidate matmuls still run full-width on the MXU.
     """
     n_sentinel = xp.shape[0] - 1
 
     def one(c):
         q_idx = members[c]                                   # [cap]
         q = xp[q_idx]                                        # [cap, D]
-        cand = members[probes[c]].reshape(-1)                # [nprobe·cap]
-        cx = xp[cand]
-        d2 = ((q ** 2).sum(1)[:, None]
-              - 2.0 * jnp.matmul(q, cx.T, precision=_EXACT)
-              + (cx ** 2).sum(1)[None, :])
-        d2 = jnp.where(cand[None, :] == q_idx[:, None], jnp.inf, d2)  # self
-        d2 = jnp.where(cand[None, :] == n_sentinel, jnp.inf, d2)      # pads
-        neg, pos = jax.lax.top_k(-d2, k)
-        return cand[pos], jnp.sqrt(jnp.maximum(-neg, 0.0))
+        qn = (q ** 2).sum(1)[:, None]
+        cap = q_idx.shape[0]
+
+        def fold(carry, p):
+            best_d, best_i = carry                           # [cap, k] each
+            cand = members[p]                                # [cap]
+            cx = xp[cand]
+            d2 = (qn - 2.0 * jnp.matmul(q, cx.T, precision=_EXACT)
+                  + (cx ** 2).sum(1)[None, :])
+            d2 = jnp.where(cand[None, :] == q_idx[:, None], jnp.inf, d2)
+            d2 = jnp.where(cand[None, :] == n_sentinel, jnp.inf, d2)
+            cd = jnp.concatenate([best_d, d2], axis=1)
+            ci = jnp.concatenate(
+                [best_i, jnp.broadcast_to(cand[None, :], (cap, cap))], axis=1)
+            neg, sel = jax.lax.top_k(-cd, k)
+            return (-neg, jnp.take_along_axis(ci, sel, axis=1)), None
+
+        init = (jnp.full((cap, k), jnp.inf, xp.dtype),
+                jnp.zeros((cap, k), jnp.int32))
+        (best_d, best_i), _ = jax.lax.scan(fold, init, probes[c])
+        return best_i, jnp.sqrt(jnp.maximum(best_d, 0.0))
 
     return jax.lax.map(one, jnp.arange(members.shape[0]))
+
+
+def _balance_buckets(x: np.ndarray, labels: np.ndarray, centers: np.ndarray,
+                     limit: int, rs: np.random.RandomState):
+    """Split every bucket with more than ``limit`` members into random
+    equal pieces of ≤ ``limit``, each with its own centroid (the piece
+    mean).  k-means occupancy on clustered data is heavily skewed (measured
+    7× over the mean at 2M rows), and both the rerank's padded compute and
+    its memory scale with the MAX occupancy — a hard cap keeps them at the
+    balanced cost.  Random pieces of one tight bucket have near-identical
+    centroids, so they land at the top of each other's probe lists and the
+    effective candidate pool (hence recall) is unchanged.
+
+    → (labels, centers) with ``bincount(labels).max() <= limit``."""
+    counts = np.bincount(labels, minlength=len(centers))
+    big = np.where(counts > limit)[0]
+    if len(big) == 0:
+        return labels, centers
+    extra = []
+    next_id = len(centers)
+    for b in big:
+        idx = np.where(labels == b)[0]
+        rs.shuffle(idx)
+        parts = int(np.ceil(len(idx) / limit))
+        for p, chunk in enumerate(np.array_split(idx, parts)):
+            mean = x[chunk].mean(axis=0)
+            if p == 0:
+                centers[b] = mean
+            else:
+                labels[chunk] = next_id
+                extra.append(mean)
+                next_id += 1
+    if extra:
+        centers = np.vstack([centers, np.asarray(extra, centers.dtype)])
+    return labels, centers
 
 
 def approx_knn_graph(
@@ -133,6 +188,20 @@ def approx_knn_graph(
         from .embed import knn_graph
         nbr, dist = knn_graph(jnp.asarray(x), k)
         return np.asarray(nbr), np.asarray(dist)
+    xd = jnp.asarray(x)
+    rs = np.random.RandomState(seed)
+    centers = jnp.asarray(x[rs.choice(n, c, replace=False)])
+    for _ in range(n_iters):
+        centers, _ = _lloyd_step(xd, centers, c)
+    labels = np.asarray(_assign_chunked(xd, centers)).copy()
+
+    # hard-cap bucket occupancy at 2× the mean (skew-proofing: rerank
+    # memory and padded compute scale with MAX occupancy, see
+    # _balance_buckets) before choosing probe counts — splitting grows C
+    cen = np.asarray(centers).copy()
+    limit = max(2 * int(np.ceil(n / c)), 4 * (k + 1), 128)
+    labels, cen = _balance_buckets(x, labels, cen, limit, rs)
+    c = len(cen)
     if nprobe is None:
         # a FIXED probe count loses recall as the bucket count grows
         # (measured: recall@15 0.996 at C=141/nprobe=16 but 0.85 at C=224):
@@ -144,13 +213,6 @@ def approx_knn_graph(
         # runs.
         nprobe = min(max(16, c // 8), 96)
     nprobe = min(nprobe, c)
-
-    xd = jnp.asarray(x)
-    rs = np.random.RandomState(seed)
-    centers = jnp.asarray(x[rs.choice(n, c, replace=False)])
-    for _ in range(n_iters):
-        centers, _ = _lloyd_step(xd, centers, c)
-    labels = np.asarray(_assign_chunked(xd, centers))
 
     # bucket member table, padded with the sentinel index N.  cap rounds up
     # to a multiple of 128 (lane width): the raw max occupancy is data- and
@@ -166,7 +228,6 @@ def approx_knn_graph(
         members[b, : counts[b]] = order[starts[b]: starts[b] + counts[b]]
 
     # bucket-level probe lists by centroid distance (self is at distance 0)
-    cen = np.asarray(centers)
     cd2 = ((cen ** 2).sum(1)[:, None] - 2.0 * (cen @ cen.T)
            + (cen ** 2).sum(1)[None, :])
     probes = np.argsort(cd2, axis=1)[:, :nprobe].astype(np.int32)

@@ -99,6 +99,55 @@ def test_packed_graph_mil_rejects_random_topology():
         train_graph_mil_population({"graph_type": "random"}, {}, {})
 
 
+def test_balance_buckets_caps_occupancy_and_keeps_geometry():
+    """_balance_buckets enforces bincount(labels).max() <= limit, keeps every
+    point assigned, and gives each piece its own centroid near the data."""
+    from multimodal_isic_tpu.analysis.ann import _balance_buckets
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(1000, 4).astype(np.float32)
+    labels = np.zeros(1000, np.int64)
+    labels[800:] = rs.randint(1, 4, 200)        # bucket 0 holds 800 points
+    centers = rs.randn(4, 4).astype(np.float32)
+    new_labels, new_centers = _balance_buckets(x, labels.copy(),
+                                               centers.copy(), 150, rs)
+    counts = np.bincount(new_labels, minlength=len(new_centers))
+    assert counts.max() <= 150
+    assert counts.sum() == 1000
+    # pieces of old bucket 0 got fresh ids past the original range
+    assert len(new_centers) > 4
+    # split pieces (bucket 0 and every fresh id) get member-mean centroids;
+    # untouched buckets 1..3 keep their original centers
+    for b in [0] + list(range(4, len(new_centers))):
+        np.testing.assert_allclose(new_centers[b],
+                                   x[new_labels == b].mean(0), atol=1e-5)
+    np.testing.assert_array_equal(new_centers[1:4], centers[1:4])
+    # already-balanced input is returned untouched
+    same_l, same_c = _balance_buckets(x, new_labels.copy(),
+                                      new_centers.copy(), 150, rs)
+    np.testing.assert_array_equal(same_l, new_labels)
+    assert len(same_c) == len(new_centers)
+
+
+def test_recall_on_skewed_occupancy(rng):
+    """One giant tight cluster = the k-means-occupancy skew that made the
+    unbalanced rerank allocate 40 GB at 2M rows.  Balancing splits the blob
+    into capped pieces; the run must complete and, at a probe count sized
+    for the geometry (one cluster spanning ~80% of the buckets needs
+    nprobe ~ C — the documented IVF trade), recall must hold.  The default
+    nprobe's recall on this adversarial skew is ~0.64 balanced AND
+    unbalanced (measured) — balancing changes cost, not recall."""
+    d = 16
+    giant = rng.randn(1, d).astype(np.float32) * 3.0
+    rest = _clustered(rng, 4_000, d=d)[0]
+    x = np.vstack([giant + rng.randn(16_000, d).astype(np.float32) * 0.05,
+                   rest])
+    nbr_a, dist_a = approx_knn_graph(x, k=15, nprobe=192)
+    nbr_e, _ = knn_graph(jnp.asarray(x), k=15)
+    rec = knn_recall(nbr_a, np.asarray(nbr_e), dist_approx=dist_a)
+    assert rec >= 0.95, f"recall@15 on skewed data = {rec:.3f}"
+
+
 def test_contract_invariants(rng):
     """Self excluded, k columns, indices in range, distances sorted."""
     x, _ = _clustered(rng, 3_000, d=8)
