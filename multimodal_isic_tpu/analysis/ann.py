@@ -40,6 +40,12 @@ import jax.numpy as jnp
 import numpy as np
 
 BIG = 1e15  # finite stand-in for "no neighbor found" distances
+# Distances below FINITE are real edges; at/above, sentinel slots.  Every
+# downstream guard (fuzzy weights, density eps, hdbscan ladder, recall)
+# compares against THIS constant so BIG can move without any guard silently
+# passing sentinels through.  Real squared distances stay far below it: the
+# sentinel row's coordinates are 1e18, genuine latent distances ≤ ~1e4.
+FINITE = BIG / 10.0
 
 # Distance matmuls MUST run at true f32: the TPU MXU's default f32 precision
 # (bf16-passes) rounds ‖x‖²−2x·yᵀ+‖y‖² at ~0.4% of the squared MAGNITUDE,
@@ -78,17 +84,22 @@ def _lloyd_step(x, centers, n_buckets: int):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _rerank(xp, members, probes, k: int):
-    """Per-bucket exact rerank, streamed over probe buckets.
+def _rerank(xp, members, probes, bucket_ids, k: int):
+    """Exact rerank for the buckets listed in ``bucket_ids``, streamed over
+    probe buckets.
 
     xp [N+1, D] (last row = huge-coordinate sentinel), members [C, cap]
-    int32 with N marking pads, probes [C, nprobe] → (nbr [C, cap, k] indices
-    into 0..N, dist [C, cap, k]).  One ``lax.map`` step = one bucket; inside
-    it a ``lax.scan`` folds one probed bucket at a time into a running
-    top-k, so live memory is one [cap, cap] distance block (plus the
-    [cap, k] state) instead of the full [cap, nprobe·cap] block — which at
-    the reference's 2M-row geometry is the difference between ~35 MB and an
-    unallocatable 40 GB.  Candidate matmuls still run full-width on the MXU.
+    int32 with N marking pads, probes [C, nprobe], bucket_ids [G] →
+    (nbr [G, cap, k] indices into 0..N, dist [G, cap, k]).  One ``lax.map``
+    step = one bucket; inside it a ``lax.scan`` folds one probed bucket at a
+    time into a running top-k, so live memory is one [cap, cap] distance
+    block (plus the [cap, k] state) instead of the full [cap, nprobe·cap]
+    block — which at the reference's 2M-row geometry is the difference
+    between ~35 MB and an unallocatable 40 GB.  Candidate matmuls still run
+    full-width on the MXU.  The caller dispatches bucket GROUPS (one jit
+    call per ``bucket_ids`` slice) rather than all C buckets in one program:
+    a single multi-minute XLA program crashed the tunneled TPU worker at the
+    2M-row geometry, and host-side chunking also buys progress reporting.
     """
     n_sentinel = xp.shape[0] - 1
 
@@ -117,7 +128,7 @@ def _rerank(xp, members, probes, k: int):
         (best_d, best_i), _ = jax.lax.scan(fold, init, probes[c])
         return best_i, jnp.sqrt(jnp.maximum(best_d, 0.0))
 
-    return jax.lax.map(one, jnp.arange(members.shape[0]))
+    return jax.lax.map(one, bucket_ids)
 
 
 def _balance_buckets(x: np.ndarray, labels: np.ndarray, centers: np.ndarray,
@@ -163,6 +174,7 @@ def approx_knn_graph(
     n_buckets: Optional[int] = None,
     n_iters: int = 4,
     seed: int = 0,
+    verbose: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """→ (nbr [N, k] int32, dist [N, k] f32), self excluded — the same
     contract as :func:`..analysis.embed.knn_graph` up to approximation.
@@ -233,8 +245,23 @@ def approx_knn_graph(
     probes = np.argsort(cd2, axis=1)[:, :nprobe].astype(np.int32)
 
     xp = jnp.asarray(np.vstack([x, np.full((1, d), 1e18, np.float32)]))
-    nbr_b, dist_b = _rerank(xp, jnp.asarray(members), jnp.asarray(probes), k)
-    nbr_b, dist_b = np.asarray(nbr_b), np.asarray(dist_b)
+    members_d, probes_d = jnp.asarray(members), jnp.asarray(probes)
+    # dispatch bucket groups sized to a few seconds of MXU work each (one
+    # compile: the [G] id slice is padded to a fixed shape); see _rerank for
+    # why one monolithic program is not an option
+    fpb = 2.0 * cap * nprobe * cap * d
+    group = int(min(max(3e14 // max(fpb, 1.0), 1), 1024, c))
+    nbr_b = np.zeros((c, cap, k), np.int32)
+    dist_b = np.zeros((c, cap, k), np.float32)
+    for g0 in range(0, c, group):
+        ids = np.arange(g0, g0 + group, dtype=np.int32)
+        ids = np.minimum(ids, c - 1)  # pad tail by recomputing the last row
+        nb, db = _rerank(xp, members_d, probes_d, jnp.asarray(ids), k)
+        take = min(group, c - g0)
+        nbr_b[g0: g0 + take] = np.asarray(nb)[:take]
+        dist_b[g0: g0 + take] = np.asarray(db)[:take]
+        if verbose:
+            print(f"ann rerank: {min(g0 + group, c)}/{c} buckets", flush=True)
 
     out_nbr = np.zeros((n, k), np.int32)
     out_dist = np.full((n, k), BIG, np.float32)
@@ -259,6 +286,6 @@ def knn_recall(nbr_approx: np.ndarray, nbr_exact: np.ndarray,
     hits = 0
     for r, (a, b) in enumerate(zip(nbr_approx, nbr_exact)):
         if dist_approx is not None:
-            a = a[dist_approx[r] < BIG]
+            a = a[dist_approx[r] < FINITE]
         hits += len(np.intersect1d(a, b, assume_unique=False))
     return hits / nbr_exact.size

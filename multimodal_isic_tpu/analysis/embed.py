@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import pca as PCA
+from .ann import FINITE
 
 
 # True-f32 distance matmuls: the TPU MXU's default f32 precision rounds the
@@ -106,6 +107,9 @@ def knn(x, k: int = 15, metric: str = "euclidean", method: str = "exact",
         return jnp.asarray(nbr), jnp.asarray(dist)
     if method != "exact":
         raise ValueError(f"method must be exact|approx, got {method!r}")
+    if ann_kwargs:
+        raise TypeError(  # loud, not silent: the knob would do nothing
+            f"ann kwargs {sorted(ann_kwargs)} only apply to method='approx'")
     return knn_graph(jnp.asarray(x), k, metric)
 
 
@@ -129,7 +133,7 @@ def _fuzzy_weights(dist: jnp.ndarray) -> jnp.ndarray:
     (``ann.BIG`` distances on rows the probe lists couldn't fill) are absent
     edges: weight 0, excluded from rho/sigma so one sentinel can't inflate
     the local scale and flatten the real neighbors' weights."""
-    valid = dist < 1e14
+    valid = dist < FINITE
     rho = jnp.where(valid[:, :1], dist[:, :1], 0.0)
     excess = jnp.maximum(dist - rho, 0.0)
     denom = jnp.maximum(valid.sum(axis=1, keepdims=True), 1)
@@ -176,14 +180,18 @@ def neighbor_embedding(x: np.ndarray, n_components: int = 2,
                        n_neighbors: int = 15, n_epochs: int = 500,
                        metric: str = "euclidean", seed: int = 0,
                        lr: float = 0.05,
-                       knn_method: str = "exact") -> np.ndarray:
+                       knn_method: str = "exact",
+                       knn_kwargs: Optional[dict] = None) -> np.ndarray:
     """kNN-graph layout → [N, n_components].  PCA init (scaled to ~1e-1 std,
     the UMAP convention) keeps global structure; the optimization recovers
     local neighborhoods the linear projection loses.  ``knn_method='approx'``
     switches the graph construction to the IVF path for reference-scale
-    tables (see :func:`knn`)."""
+    tables (see :func:`knn`); ``knn_kwargs`` (nprobe, n_buckets, seed —
+    recall-critical runs raise nprobe, see ``ann.approx_knn_graph``) pass
+    through to it."""
     x = np.asarray(x, np.float32)
-    nbr, dist = knn(x, n_neighbors, metric, method=knn_method)
+    nbr, dist = knn(x, n_neighbors, metric, method=knn_method,
+                    **(knn_kwargs or {}))
     w = _fuzzy_weights(dist)
     comps = min(n_components, x.shape[1], x.shape[0])
     state = PCA.fit(x, comps)
@@ -229,7 +237,8 @@ def density_cluster(x: np.ndarray, min_cluster_size: int = 50,
                     min_samples: int = 10, eps: Optional[float] = None,
                     eps_scale: float = 2.0, k: Optional[int] = None,
                     metric: str = "euclidean",
-                    knn_method: str = "exact") -> np.ndarray:
+                    knn_method: str = "exact",
+                    knn_kwargs: Optional[dict] = None) -> np.ndarray:
     """DBSCAN* over the mutual-reachability graph → labels [N] with -1 noise.
 
     HDBSCAN semantics approximated at a single density level: core distance
@@ -248,7 +257,8 @@ def density_cluster(x: np.ndarray, min_cluster_size: int = 50,
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     kk = k or max(min_samples + 1, 16)
-    nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method)
+    nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method,
+                    **(knn_kwargs or {}))
     core = _core_distance(dist, min_samples)
     if eps is None:
         # approx kNN marks unfilled neighbor slots with a huge finite
@@ -257,7 +267,7 @@ def density_cluster(x: np.ndarray, min_cluster_size: int = 50,
         # not poison the median that sets the level (same guard as
         # hdbscan_cluster's eps grid).
         core_np = np.asarray(core)
-        finite = core_np[core_np < 1e14]
+        finite = core_np[core_np < FINITE]
         if len(finite) == 0:
             return np.full(n, -1, int)
         eps = jnp.float32(eps_scale * np.median(finite))
@@ -392,7 +402,8 @@ def hdbscan_cluster(x: np.ndarray, min_cluster_size: int = 50,
                     min_samples: int = 10, n_levels: int = 24,
                     k: Optional[int] = None, metric: str = "euclidean",
                     allow_single_cluster: bool = False,
-                    knn_method: str = "exact") -> np.ndarray:
+                    knn_method: str = "exact",
+                    knn_kwargs: Optional[dict] = None) -> np.ndarray:
     """Hierarchical density clustering → labels [N] with -1 noise.
 
     The reference's cuML ``HDBSCAN(min_cluster_size=50, min_samples=10)``
@@ -407,14 +418,15 @@ def hdbscan_cluster(x: np.ndarray, min_cluster_size: int = 50,
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     kk = k or max(min_samples + 1, 16)
-    nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method)
+    nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method,
+                    **(knn_kwargs or {}))
     core = _core_distance(dist, min_samples)
 
     core_np = np.asarray(core)
     # approx kNN marks unfilled neighbor slots with a huge finite distance
     # (ann.BIG); such points are unreachable at any sane eps (→ noise) and
     # must not stretch the ladder
-    finite = core_np[core_np < 1e14]
+    finite = core_np[core_np < FINITE]
     if len(finite) == 0:
         return np.full(int(n), -1, int)
     # geometric eps ladder spanning every core-distance scale in the data:

@@ -51,8 +51,17 @@ def main(argv=None) -> None:
                         help="approx = IVF k-means bucketing + exact rerank "
                              "(analysis/ann.py) — required at the reference's "
                              "full ~2M-row patch table, cluster_latents.py:26")
+    parser.add_argument("--knn_nprobe", type=int, default=None,
+                        help="approx only: probed buckets per query; raise "
+                             "for recall-critical runs (ann.approx_knn_graph "
+                             "documents the default's recall trade)")
+    parser.add_argument("--knn_buckets", type=int, default=None,
+                        help="approx only: IVF bucket count (default ~sqrt N)")
     args, rest = parser.parse_known_args(argv)
     config = parse_config(rest)
+    knn_kwargs = {k: v for k, v in
+                  (("nprobe", args.knn_nprobe), ("n_buckets", args.knn_buckets))
+                  if v is not None}
 
     df = pd.read_pickle(args.patch_df)
     x = np.stack([np.asarray(v, np.float32) for v in df["patch_latent_pca"]])
@@ -64,7 +73,8 @@ def main(argv=None) -> None:
     if args.embed == "neighbor":
         emb20 = E.neighbor_embedding(x, n_components=comps,
                                      seed=config["seed"],
-                                     knn_method=args.knn_method)
+                                     knn_method=args.knn_method,
+                                     knn_kwargs=knn_kwargs)
     elif x.shape[1] > 20:
         emb20 = np.asarray(P.transform(P.fit(x, 20), x))
     else:
@@ -77,7 +87,7 @@ def main(argv=None) -> None:
               else E.density_cluster)
         clusters = fn(emb20, min_cluster_size=args.min_cluster_size,
                       min_samples=args.min_samples,
-                      knn_method=args.knn_method)
+                      knn_method=args.knn_method, knn_kwargs=knn_kwargs)
         n_noise = int((clusters == -1).sum())
         print(f"Number of clusters found: "
               f"{len(np.unique(clusters[clusters >= 0]))} "
@@ -93,7 +103,8 @@ def main(argv=None) -> None:
         for metric in ("euclidean", "cosine"):  # cluster_latents.py:175-217
             e2 = E.neighbor_embedding(x, n_components=2, metric=metric,
                                       seed=config["seed"],
-                                      knn_method=args.knn_method)
+                                      knn_method=args.knn_method,
+                                      knn_kwargs=knn_kwargs)
             t = C.trustworthiness(x, e2)
             path = f"{args.viz_out}_{metric}.png"
             embedding_scatter(e2, y, path,

@@ -103,10 +103,8 @@ def preprocess_eval_batch(imgs_u8: jnp.ndarray, out_hw: Tuple[int, int],
     ``normalize_imagenet(resize_bilinear(x))`` — the reference's
     deterministic eval transform (``main.py:88-94``) — to interpolation/
     ``dtype`` tolerance."""
-    y = resize_bilinear_mxu(imgs_u8, out_hw, dtype=dtype)
-    mean = jnp.asarray(IMAGENET_MEAN, dtype) * jnp.asarray(255.0, dtype)
-    std = jnp.asarray(IMAGENET_STD, dtype) * jnp.asarray(255.0, dtype)
-    return (y - mean) / std
+    return normalize_imagenet(resize_bilinear_mxu(imgs_u8, out_hw,
+                                                  dtype=dtype))
 
 
 def normalize_imagenet(img: jnp.ndarray,

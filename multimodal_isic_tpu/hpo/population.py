@@ -41,7 +41,7 @@ POP_KEYS = ("lr", "weight_decay", "dropout")
 # the optimizer hyperparameters and the two dropout rates (GraphMIL accepts
 # them as traced overrides); every architecture/topology key is a cohort
 # shape key.  Sampling shape keys once per cohort guarantees FULL cohorts —
-# bucketing independently-sampled 17-dim configs by shape signature would
+# bucketing independently-sampled 19-dim configs by shape signature would
 # almost always yield singleton buckets (~1e8 distinct signatures).
 GRAPH_POP_KEYS = ("lr", "weight_decay", "gnn_dropout", "pool_dropout")
 GRAPH_SHAPE_KEYS = tuple(k for k in GRAPH_MIL_SPACE if k not in GRAPH_POP_KEYS)
@@ -557,7 +557,7 @@ def run_population_search(
     over shape keys is num_samples/cohort_size — the price of packing, the
     same trade the reference makes by capping concurrent trials per GPU.
 
-    ``model_type='graph-mil'`` packs the reference's flagship 17-dim graph
+    ``model_type='graph-mil'`` packs the reference's flagship 19-dim graph
     search (``tune_mil.py:170-200``): the 15 architecture/topology keys are
     the cohort shape signature, lr/wd/gnn_dropout/pool_dropout trace per
     trial.

@@ -2,7 +2,7 @@
 
 Samplers mirror Ray Tune's primitives, and the two concrete spaces reproduce
 the reference's (``tune_mil.py:161-200``): the classic-MIL space (hidden/att
-dims 32-1024, dropout 0-0.75, adam/adamw, log-uniform lr/wd) and the 17-dim
+dims 32-1024, dropout 0-0.75, adam/adamw, log-uniform lr/wd) and the 19-dim
 Graph-MIL space (gat/transformer, 2-8 layers, grid/knn graphs, k ∈
 {4,8,12,16}, heads, residual/layer-norm toggles...).
 """

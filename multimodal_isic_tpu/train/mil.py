@@ -257,7 +257,7 @@ def train_graph_mil(config: Dict, data: Dict, seed: int = 42,
 
 def graph_mil_from_config(config: Dict, input_dim: int,
                           num_classes: int) -> GraphMIL:
-    """GraphMIL built from a sampled 17-dim search config
+    """GraphMIL built from a sampled 19-dim search config
     (``tune_mil.py:170-200``) — shared by the sequential trainable and the
     packed cohort path so both construct the IDENTICAL architecture."""
     return GraphMIL(input_dim=input_dim,
