@@ -254,7 +254,11 @@ def density_cluster(x: np.ndarray, min_cluster_size: int = 50,
     instead selects per-cluster density levels by stability; this single
     level is the documented approximation.)
     """
-    x = jnp.asarray(x, jnp.float32)
+    # keep x on host: knn() moves it to device itself on the exact path, and
+    # the approx path wants numpy — converting here would ship the FULL
+    # table device→host→device (~12 GB of wasted transfer at the 2M-row
+    # target geometry) and pin a second device copy alongside ann's buffers
+    x = np.asarray(x, np.float32)
     n = x.shape[0]
     kk = k or max(min_samples + 1, 16)
     nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method,
@@ -415,7 +419,9 @@ def hdbscan_cluster(x: np.ndarray, min_cluster_size: int = 50,
     data where any single eps either merges the dense pair or drops the
     sparse cluster is resolved correctly (tested).
     """
-    x = jnp.asarray(x, jnp.float32)
+    # host-side x: see density_cluster — avoids a full-table device
+    # round-trip on the approx path at reference scale
+    x = np.asarray(x, np.float32)
     n = x.shape[0]
     kk = k or max(min_samples + 1, 16)
     nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method,

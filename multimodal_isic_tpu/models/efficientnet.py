@@ -305,6 +305,11 @@ class EfficientNet(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.bn_folded and train:
             raise ValueError("bn_folded is an inference-only variant")
+        if self.pallas_serving and not self.bn_folded:
+            # loud, not silent: the MBConv gate requires bn_folded, so the
+            # flag would quietly no-op and an A/B run would time the
+            # standard XLA graph while believing it measured the Pallas path
+            raise ValueError("pallas_serving requires bn_folded=True")
         width, depth, _, dropout_rate = PARAMS[self.model_name]
         if self.bn_folded:
             bn = lambda name: (lambda h: h)

@@ -178,7 +178,7 @@ def _dw_tile(mid_ref, wd_ref, bd_ref, y_ref, pool_ref, *, k: int, t: int,
 
 
 def _dw_kernel(x_ref, w_ref, b_ref, y_ref, pool_ref, xp_ref, *, k: int,
-               t: int, h: int, denom: float):
+               t: int, denom: float):
     """One grid step = rows [t_idx*T, t_idx*T+T) of one image.  x (row-padded
     input) [1, H+2p, W, C] resident per image, w [k*k, C], b [1, C]; scratch
     xp [T+k-1, W+k-1, C] (SAME zero borders) → y tile [1, T, W, C]
@@ -270,7 +270,7 @@ def dw_silu_pool(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     xp = _pad_rows(x, pad, h + 2 * pad)
     wk = w.reshape(k * k, c).astype(x.dtype)
     y, pool = pl.pallas_call(
-        functools.partial(_dw_kernel, k=k, t=t, h=h, denom=1.0 / (h * ww)),
+        functools.partial(_dw_kernel, k=k, t=t, denom=1.0 / (h * ww)),
         grid=(bsz, nt),
         in_specs=[
             pl.BlockSpec((1, h + 2 * pad, ww, c), lambda i, j: (i, 0, 0, 0)),

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from multimodal_isic_tpu.analysis.ann import approx_knn_graph  # noqa: E402
+from multimodal_isic_tpu.analysis.ann import (  # noqa: E402
+    approx_knn_graph, knn_recall)
 
 N, D, K = int(os.environ.get("ANN_N", 500_000)), 768, 15
 NPROBE = int(os.environ["ANN_NPROBE"]) if "ANN_NPROBE" in os.environ else None
@@ -80,9 +81,9 @@ for r in range(NQ):
     row = [i for i in best_i[r] if i != q_idx[r]][:K]
     exact[r] = row
 
-hits = 0
-for r in range(NQ):
-    hits += len(np.intersect1d(nbr[q_idx[r]], exact[r]))
-recall = hits / (NQ * K)
+# knn_recall masks sentinel filler slots (index 0 / dist BIG) via the
+# returned distances, so an unfilled slot can never score as a hit on rows
+# where 0 happens to be a true neighbor.
+recall = knn_recall(nbr[q_idx], exact, dist_approx=dist[q_idx])
 print(f"recall@{K} on {NQ} sampled queries: {recall:.4f}", flush=True)
 print(f"RESULT wall={wall:.1f}s recall={recall:.4f}", flush=True)
