@@ -109,22 +109,32 @@ def measure_tpu(batch_size=512, iters=10, train_batch=128, train_iters=10):
     _ = float(out.sum())  # force real completion
     log("tpu: forward compiled")
 
-    def time_chain(fn, *args):
-        best = float("inf")
-        for _ in range(3):
+    def time_chain(fn, *args, reps=4):
+        """≥3 timed chains (rep 0 may absorb a one-time relayout recompile);
+        → (min, median, all) per-iteration seconds so the artifact carries
+        spread, not a single point — shared-host noise vs build regression."""
+        times = []
+        for _ in range(reps):
             t0 = time.time()
             acc = None
             for _ in range(iters):
                 out = fn(*args)
                 acc = out if acc is None else acc + out
             _ = float(acc.sum())  # single readback closes the chain
-            best = min(best, (time.time() - t0) / iters)
-        return best
+            times.append((time.time() - t0) / iters)
+        return min(times), float(np.median(times)), times
 
-    best = time_chain(preproc_and_forward, params, batch_stats, dev_batch)
+    def spread(name, bs, tmin, tmed, times):
+        log(f"tpu: {name} spread over {len(times)} chains: "
+            f"min {bs / tmin:.1f} img/s, median {bs / tmed:.1f} img/s, all "
+            f"[{', '.join(f'{bs / t:.1f}' for t in times)}]")
+
+    best, med, ts = time_chain(preproc_and_forward, params, batch_stats,
+                               dev_batch)
     ips = batch_size / best
     log(f"tpu: fusion fwd bf16 bs={batch_size}: {ips:.1f} img/s/chip "
         f"({best * 1000:.1f} ms) MFU~{fwd_flops / best / PEAK_BF16 * 100:.1f}%")
+    spread("fwd", batch_size, best, med, ts)
 
     # ---- BN-FOLDED serving forward: same outputs, no BatchNorm ops ----
     from multimodal_isic_tpu.models.fusion import fold_fusion_params
@@ -140,10 +150,12 @@ def measure_tpu(batch_size=512, iters=10, train_batch=128, train_iters=10):
         np.testing.assert_allclose(  # folding must not change predictions
             np.asarray(out_f), np.asarray(out), rtol=0.1, atol=0.15)
         log("tpu: folded forward compiled")
-        best_f = time_chain(folded_forward, folded_params, {}, dev_batch)
+        best_f, med_f, ts_f = time_chain(folded_forward, folded_params, {},
+                                         dev_batch)
         ips_f = batch_size / best_f
         log(f"tpu: fusion fwd bf16 FOLDED bs={batch_size}: {ips_f:.1f} "
             f"img/s/chip ({best_f * 1000:.1f} ms)")
+        spread("folded", batch_size, best_f, med_f, ts_f)
         if ips_f > ips:
             log("tpu: headline = BN-folded serving graph")
             ips = ips_f
@@ -162,17 +174,19 @@ def measure_tpu(batch_size=512, iters=10, train_batch=128, train_iters=10):
     _ = float(loss)
     log("tpu: train step compiled")
     train_flops = _flops(step, state, batch_stats, tb, jax.random.PRNGKey(2))
-    best_tr = float("inf")
-    for _ in range(2):  # rep 0 may absorb a one-time relayout recompile
+    tr_times = []
+    for _ in range(4):  # rep 0 may absorb a one-time relayout recompile
         t0 = time.time()
         s, bs2 = state, batch_stats2
         for _ in range(train_iters):
             s, bs2, loss, _ = step(s, bs2, tb, jax.random.PRNGKey(3))
         _ = float(loss)
-        best_tr = min(best_tr, (time.time() - t0) / train_iters)
+        tr_times.append((time.time() - t0) / train_iters)
+    best_tr, med_tr = min(tr_times), float(np.median(tr_times))
     log(f"tpu: fusion TRAIN bf16 bs={train_batch}: {train_batch / best_tr:.1f} "
         f"img/s/chip ({best_tr * 1000:.1f} ms/step) "
         f"MFU~{train_flops / best_tr / PEAK_BF16 * 100:.1f}%")
+    spread("train", train_batch, best_tr, med_tr, tr_times)
     return ips
 
 

@@ -30,13 +30,16 @@ def build_patient_bags(patch_df: pd.DataFrame,
     """patch-level DataFrame → (bags [N_i, D], modal labels, patient ids).
 
     Patches within a bag are sorted by ``patch_id`` (the reference's
-    ``_sort_group_patches``); patients ordered by first appearance.
+    ``_sort_group_patches``); patients in SORTED id order — the reference's
+    default ``groupby('patient_id')`` sorts keys (tune_mil.py:105-120,
+    use_latent.py:172-233), and bag order feeds the stratified splitters, so
+    this ordering is what makes CV fold membership reproduce the reference.
     """
     df = patch_df.copy()
     df["patient_id"] = df["image_path"].map(patient_id_from_path)
 
     bags, labels, patients = [], [], []
-    for pid, group in df.groupby("patient_id", sort=False):
+    for pid, group in df.groupby("patient_id", sort=True):
         group = group.sort_values("patch_id", kind="stable")
         feats = np.stack([np.asarray(v, np.float32) for v in group[latent_col]])
         target = int(Counter(group["target"].astype(int)).most_common(1)[0][0])
@@ -50,12 +53,14 @@ def bags_from_table(table: Dict[str, np.ndarray], image_paths: Sequence[str],
                     latent_col: str = "patch_latent_pca"
                     ) -> Tuple[List[np.ndarray], List[int], List[str]]:
     """Dense-table variant (analysis.latent_pipeline.patch_table output):
-    groups by patient id derived from each patch's image path."""
+    groups by patient id derived from each patch's image path, patients in
+    sorted id order (matching pandas' default sorting ``groupby`` and
+    :func:`build_patient_bags`)."""
     feats = table.get(latent_col, table["patch_latent"])
     pids = np.array([patient_id_from_path(image_paths[i])
                      for i in table["image_idx"]])
     bags, labels, patients = [], [], []
-    for pid in pd.unique(pids):
+    for pid in np.unique(pids):
         sel = np.where(pids == pid)[0]
         sel = sel[np.argsort(table["patch_id"][sel], kind="stable")]
         bags.append(np.asarray(feats[sel], np.float32))

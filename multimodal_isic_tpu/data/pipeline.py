@@ -36,10 +36,18 @@ class DermRecords:
     """
 
     def __init__(self, df, radiomics=None, staging_hw=(450, 450),
-                 use_native: Optional[bool] = None, with_image: bool = True):
+                 use_native: Optional[bool] = None, with_image: bool = True,
+                 cache_decoded: bool = False):
         import cv2  # local: host-only dependency
         self._cv2 = cv2
         self.df = df.reset_index(drop=True)
+        # cache_decoded=True keeps each decoded+cropped uint8 staging image
+        # (and mask) in host RAM after its first read, so epochs 2+ skip
+        # JPEG decode entirely — the mitigation for a 1-core host that
+        # cannot decode at the chip's training rate (the reference re-decodes
+        # every epoch, dataset.py:58-96).  450×450×3 uint8 ≈ 0.6 MB/image:
+        # the full HAM10000 train split is ~6 GB of the 125 GB host.
+        self._cache: Optional[dict] = {} if cache_decoded else None
         # with_image=False = metadata-only records: no decode, no image/mask
         # keys.  The reference decodes + augments every sample regardless of
         # the modality subset (dataset.py:21-56); skipping that work for
@@ -62,12 +70,17 @@ class DermRecords:
 
     def read_image_mask(self, idx: int):
         import os
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         if self.use_native:
             from . import native_io
             row = self.df.iloc[idx]
-            return native_io.decode_crop(
+            out = native_io.decode_crop(
                 row["image_path"], str(row["segmentation_path"]),
                 self.staging_hw)
+            if self._cache is not None:
+                self._cache[idx] = out
+            return out
         cv2 = self._cv2
         row = self.df.iloc[idx]
         bgr = cv2.imread(row["image_path"])
@@ -83,6 +96,8 @@ class DermRecords:
         if image.shape[:2] != self.staging_hw:
             image = cv2.resize(image, self.staging_hw[::-1], interpolation=cv2.INTER_LINEAR)
             mask = cv2.resize(mask, self.staging_hw[::-1], interpolation=cv2.INTER_NEAREST)
+        if self._cache is not None:
+            self._cache[idx] = (image, mask)
         return image, mask
 
     def metadata(self, idx: int) -> Dict[str, np.ndarray]:
@@ -173,12 +188,24 @@ class DeviceLoader:
                 # whole batch's decode+crop
                 from . import native_io
                 batch = _collate([self.records.metadata(int(i)) for i in idx])
-                rows = self.records.df.iloc[idx]
-                images, masks = native_io.decode_crop_batch(
-                    rows["image_path"].tolist(),
-                    [str(p) for p in rows["segmentation_path"]],
-                    self.records.staging_hw)
-                batch["image"], batch["mask"] = images, masks
+                cache = self.records._cache
+                todo = ([int(i) for i in idx if int(i) not in cache]
+                        if cache is not None else [int(i) for i in idx])
+                if todo:
+                    rows = self.records.df.iloc[todo]
+                    images, masks = native_io.decode_crop_batch(
+                        rows["image_path"].tolist(),
+                        [str(p) for p in rows["segmentation_path"]],
+                        self.records.staging_hw)
+                    if cache is not None:
+                        for pos, i in enumerate(todo):
+                            cache[i] = (images[pos], masks[pos])
+                if cache is not None:
+                    pairs = [cache[int(i)] for i in idx]
+                    batch["image"] = np.stack([p[0] for p in pairs])
+                    batch["mask"] = np.stack([p[1] for p in pairs])
+                else:
+                    batch["image"], batch["mask"] = images, masks
             else:
                 batch = _collate([self.records[int(i)] for i in idx])
             yield batch

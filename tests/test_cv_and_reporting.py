@@ -35,6 +35,43 @@ def test_build_patient_bags_sorted_and_modal(rng):
     np.testing.assert_array_equal(bags[0][:, 0], [1, 2, 0])
 
 
+def test_patient_bag_order_matches_pandas_default_groupby(rng):
+    """The reference iterates ``groupby('patient_id')`` with pandas' default
+    sort=True (tune_mil.py:105-120); bag order feeds the stratified
+    splitters, so first-appearance order would silently change CV fold
+    membership.  Patient ids arrive in NON-sorted appearance order here."""
+    order = ["zz9", "aa1", "mm5", "bb2"]
+    df = pd.DataFrame({
+        "image_path": [f"IS_{p}_x.jpg" for p in order for _ in range(2)],
+        "patch_id": [0, 1] * 4,
+        "target": [1, 1, 2, 2, 0, 0, 1, 1],
+        "patch_latent_pca": [np.full(3, i, np.float32) for i in range(8)],
+    })
+    bags, labels, patients = build_patient_bags(df)
+    # oracle: pandas default groupby over the same derived key
+    oracle = list(df.assign(
+        patient_id=df["image_path"].map(patient_id_from_path)
+    ).groupby("patient_id").groups)
+    assert patients == oracle == sorted(order)
+    assert labels == [2, 1, 0, 1]  # labels follow the sorted patient order
+    np.testing.assert_array_equal(bags[0][:, 0], [2, 3])  # aa1's patches
+
+    # dense-table variant agrees with the DataFrame path on the same data
+    table = {
+        "image_idx": np.arange(8) // 2 * 0 + np.arange(8) // 2,
+        "patch_id": np.array([0, 1] * 4),
+        "patch_latent": np.stack([np.full(3, i, np.float32) for i in range(8)]),
+        "target": np.array([1, 1, 2, 2, 0, 0, 1, 1]),
+    }
+    paths = [f"IS_{p}_x.jpg" for p in order]
+    tb_bags, tb_labels, tb_patients = bags_from_table(
+        table, paths, latent_col="patch_latent")
+    assert tb_patients == patients
+    assert tb_labels == labels
+    for a, b in zip(tb_bags, bags):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_bags_from_table_matches_dataframe_path(rng):
     n, p, d = 4, 6, 5
     table = {

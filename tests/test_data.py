@@ -283,6 +283,35 @@ def test_device_loader_train_policy_stochastic(dataset):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))  # seeded -> reproducible
 
 
+def test_decoded_cache_identical_batches_and_skips_decode(dataset):
+    """cache_decoded=True: epoch 2 serves bit-identical staging crops from
+    RAM without touching the files — both the per-sample cv2 path and the
+    native threaded-batch path."""
+    cfg, df_train, _ = dataset
+    for use_native in (False, True):
+        if use_native:
+            from multimodal_isic_tpu.data import native_io
+            if not native_io.available():
+                continue
+        records = DermRecords(df_train, staging_hw=(90, 90),
+                              use_native=use_native, cache_decoded=True)
+        plain = DermRecords(df_train, staging_hw=(90, 90),
+                            use_native=use_native)
+        loader = DeviceLoader(records, batch_size=8)
+        e1 = [{k: np.asarray(v) for k, v in b.items()} for b in loader]
+        assert len(records._cache) == len(df_train)
+        # poison the paths: epoch 2 must never decode
+        records.df = records.df.assign(
+            image_path="/nonexistent.jpg", segmentation_path="/nonexistent.png")
+        e2 = [{k: np.asarray(v) for k, v in b.items()} for b in loader]
+        ref = [{k: np.asarray(v) for k, v in b.items()}
+               for b in DeviceLoader(plain, batch_size=8)]
+        for b1, b2, br in zip(e1, e2, ref):
+            for k in ("image", "mask", "target"):
+                np.testing.assert_array_equal(b1[k], b2[k])
+                np.testing.assert_array_equal(b1[k], br[k])
+
+
 def test_device_loader_propagates_worker_errors(dataset):
     cfg, df_train, _ = dataset
     df_bad = df_train.copy()

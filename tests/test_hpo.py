@@ -22,6 +22,48 @@ def test_space_sampling_ranges(rng):
     assert len(cfg) == len(GRAPH_MIL_SPACE)
 
 
+def test_graph_space_matches_reference_support(rng):
+    """Every sampled key lands in the reference's exact support
+    (tune_mil.py:172-200) — incl. the menus r4 deviated on: att_heads 8,
+    classifier_dim 384/512, the discrete {0.3..0.75} dropout grids, wd low
+    bound 1e-8."""
+    dims = {64, 128, 256, 384, 512}
+    dropouts = {0.3, 0.4, 0.5, 0.6, 0.7, 0.75}
+    seen = {k: set() for k in ("att_heads", "classifier_dim", "gnn_dropout")}
+    for _ in range(400):
+        cfg = sample_config(GRAPH_MIL_SPACE, rng)
+        assert cfg["gnn_type"] in ("gat", "transformer")
+        assert cfg["gnn_hidden"] in dims
+        assert cfg["gnn_layers"] in {2, 3, 4, 5, 6, 7, 8}
+        assert cfg["gnn_dropout"] in dropouts
+        assert cfg["gnn_heads"] in {1, 2, 4, 8}
+        assert cfg["graph_type"] in ("grid", "knn")
+        assert cfg["k_neighbors"] in {4, 8, 12, 16}
+        assert cfg["att_dim"] in dims
+        assert cfg["att_heads"] in {1, 2, 4, 8}
+        assert cfg["pool_dropout"] in dropouts
+        assert cfg["classifier_dim"] in dims
+        assert 1e-6 <= cfg["lr"] <= 1e-3
+        assert 1e-8 <= cfg["weight_decay"] <= 1e-3
+        for k in seen:
+            seen[k].add(cfg[k])
+    # the values r4's space could not reach are actually reachable
+    assert 8 in seen["att_heads"]
+    assert {384, 512} & seen["classifier_dim"]
+    assert {0.7, 0.75} & seen["gnn_dropout"]
+
+
+def test_mil_space_weight_decay_is_linear_uniform(rng):
+    """tune_mil.py:168 uses tune.uniform(0, 1e-3): linear, 0 in-support.
+    Under a log-uniform sampler P(wd < 1e-4) would be 1/3; linear gives
+    ~0.1 — 2000 draws separate the two at > 10 sigma."""
+    draws = np.array([sample_config(MIL_SPACE, rng)["weight_decay"]
+                      for _ in range(2000)])
+    assert draws.min() >= 0.0 and draws.max() <= 1e-3
+    frac_small = (draws < 1e-4).mean()
+    assert frac_small < 0.2, f"wd distribution looks log-uniform ({frac_small})"
+
+
 def test_space_sampling_is_seeded():
     a = sample_config(MIL_SPACE, np.random.RandomState(7))
     b = sample_config(MIL_SPACE, np.random.RandomState(7))
