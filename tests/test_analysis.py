@@ -237,6 +237,37 @@ def test_neighbor_embedding_beats_pca_trustworthiness(rng):
     assert t_emb > 0.9
 
 
+def test_precomputed_knn_matches_direct(rng):
+    """neighbor_embedding / density_cluster / hdbscan_cluster with
+    precomputed_knn=(nbr, dist) reproduce the direct call exactly — the
+    contract the 2M-scale chain relies on to build the ANN graph once and
+    feed it to both the embedding and the clustering."""
+    from multimodal_isic_tpu.analysis.embed import (
+        density_cluster, hdbscan_cluster, knn_graph, neighbor_embedding)
+    centers = rng.randn(4, 8).astype(np.float32) * 6
+    x = (centers[np.repeat(np.arange(4), 50)]
+         + rng.randn(200, 8).astype(np.float32) * 0.3)
+    # k=16 == both clusterers' internal kk = max(min_samples + 1, 16)
+    nbr, dist = knn_graph(jnp.asarray(x), k=16)
+
+    e_direct = neighbor_embedding(x, n_components=2, n_neighbors=10,
+                                  n_epochs=20, seed=0)
+    e_pre = neighbor_embedding(x, n_components=2, n_neighbors=10,
+                               n_epochs=20, seed=0,
+                               precomputed_knn=(nbr, dist))
+    np.testing.assert_array_equal(e_direct, e_pre)
+
+    d_direct = density_cluster(x, min_cluster_size=30, min_samples=5)
+    d_pre = density_cluster(x, min_cluster_size=30, min_samples=5,
+                            precomputed_knn=(nbr, dist))
+    np.testing.assert_array_equal(d_direct, d_pre)
+
+    h_direct = hdbscan_cluster(x, min_cluster_size=30, min_samples=5)
+    h_pre = hdbscan_cluster(x, min_cluster_size=30, min_samples=5,
+                            precomputed_knn=(nbr, dist))
+    np.testing.assert_array_equal(h_direct, h_pre)
+
+
 def test_knn_graph_cosine_is_scale_invariant(rng):
     from multimodal_isic_tpu.analysis.embed import knn_graph
 

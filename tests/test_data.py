@@ -206,6 +206,34 @@ def test_flips_rot90_joint_and_involutive():
     np.testing.assert_allclose(np.asarray(i3), np.asarray(i2 * m2[..., None]), atol=1e-6)
 
 
+def test_warp_taps_matches_map_coordinates(rng):
+    """The flat-take warp (r5 TPU reformulation) is value-equal to
+    jax.scipy.ndimage.map_coordinates(mode='mirror') — bilinear for images,
+    nearest for masks, including out-of-range coords (REFLECT_101)."""
+    h, w = 41, 37
+    img = rng.rand(h, w, 3).astype(np.float32)
+    mask = (rng.rand(h, w) > 0.5).astype(np.float32)
+    theta = 0.3
+    ys = np.arange(h, dtype=np.float32)[:, None]
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    # rotation + shift pushing coords out of range on every border
+    sy = np.cos(theta) * (ys - h / 2) - np.sin(theta) * (xs - w / 2) + h / 2 + 3.7
+    sx = np.sin(theta) * (ys - h / 2) + np.cos(theta) * (xs - w / 2) + w / 2 - 2.2
+    sy, sx = jnp.asarray(sy + 0 * sx), jnp.asarray(sx + 0 * sy)
+
+    got = augment._warp_taps(jnp.asarray(img), sy, sx, order=1)
+    want = jnp.stack([jax.scipy.ndimage.map_coordinates(
+        jnp.asarray(img[..., c]), [sy, sx], order=1, mode="mirror")
+        for c in range(3)], axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    got0 = augment._warp_taps(jnp.asarray(mask), sy, sx, order=0)
+    want0 = jax.scipy.ndimage.map_coordinates(
+        jnp.asarray(mask), [sy, sx], order=0, mode="mirror")
+    np.testing.assert_array_equal(np.asarray(got0), np.asarray(want0))
+
+
 def test_shift_scale_rotate_identity_when_not_applied():
     img = jnp.asarray(np.random.RandomState(0).rand(20, 20, 3), jnp.float32)
     out, _ = augment.shift_scale_rotate(img, None, jax.random.PRNGKey(0), p=0.0)
