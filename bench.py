@@ -234,6 +234,21 @@ def measure_reference_cpu(batch_size=4, iters=3):
 
 
 def main():
+    import os
+    disk_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_DISK.json")
+    if os.path.exists(disk_json):
+        # recorded by scripts/train_from_disk_bench.py (real TPU, JPEGs at
+        # ISIC geometry): the [disk -> DeviceLoader -> fused train step]
+        # number the headline metric does not cover
+        d = json.load(open(disk_json))
+        log("disk-train (recorded): "
+            f"{d.get('e2e_nocache_img_per_s')} img/s streaming, "
+            f"{d.get('e2e_cache_img_per_s')} img/s decoded-cache, "
+            f"{d.get('e2e_device_resident_img_per_s')} img/s HBM-resident "
+            f"(host decode alone {d.get('host_decode_img_per_s')}, device "
+            f"step alone {d.get('device_step_img_per_s')} img/s; "
+            f"n={d.get('n_images')} bs={d.get('batch')})")
     tpu_ips = measure_tpu()
     ref_ips = measure_reference_cpu()
     print(json.dumps({

@@ -131,6 +131,23 @@ class _Conv1x1Params(nn.Module):
         return k, b
 
 
+class _DWParams(nn.Module):
+    """Parameter twin of :class:`DepthwiseConv` (kernel [K, K, 1, C] + bias,
+    same names/initializers/dtype, no compute) — the fused front kernel
+    consumes the raw taps."""
+    features: int
+    kernel_size: tuple = (5, 5)
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, 1, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class ConvBlock(nn.Module):
     """Conv stage block: 1×1 → masked 5×5 depthwise → 1×1, then a 1×1 MLP,
     both residual.  ``keep`` ([B, H, W, 1], 1 = visible) zeroes masked
@@ -141,25 +158,46 @@ class ConvBlock(nn.Module):
     → Conv_4 → residual) through the ``ops.fused_mlp.fused_ln_mlp`` Pallas
     kernel: the 4×-expansion intermediate, the LN output, and the
     pre-residual MLP output (the top ops of the r3 train-step trace) all
-    stay VMEM-resident; parameters and math are unchanged."""
+    stay VMEM-resident; parameters and math are unchanged.
+
+    ``use_fused_front`` does the same for the FIRST half (LayerNorm_0 →
+    Conv_0 → keep-mask → depthwise Conv_1 → GELU → Conv_2 → residual) via
+    ``ops.fused_convblock.fused_front`` — the r5 attack on the remaining
+    trace-identified hot ops."""
     dim: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     use_fused_mlp: bool = False
+    use_fused_front: bool = False
 
     @nn.compact
     def __call__(self, x, keep: Optional[jnp.ndarray] = None):
-        # explicit names keep the param tree identical to the original
-        # auto-numbered nn.Conv layout (checkpoints + torch porter paths)
-        h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="Conv_0")(h)
-        if keep is not None:
-            h = h * keep.astype(h.dtype)
-        h = DepthwiseConv(self.dim, (5, 5), padding="SAME",
-                          dtype=self.dtype, name="Conv_1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="Conv_2")(h)
-        x = x + h
+        if self.use_fused_front and not self.is_initializing():
+            from ..ops.fused_convblock import fused_front
+            dt = self.dtype
+            c = x.shape[-1]
+            ls, lb = _LNParams(name="LayerNorm_0")(c)
+            k0, b0 = _Conv1x1Params(self.dim, name="Conv_0")(c)
+            kd, bd = _DWParams(self.dim, name="Conv_1")()
+            k2, b2 = _Conv1x1Params(self.dim, name="Conv_2")(self.dim)
+            x = fused_front(
+                x.astype(dt), ls.astype(dt), lb.astype(dt),
+                k0[0, 0].astype(dt), b0.astype(dt),
+                kd.reshape(5, 5, self.dim).astype(dt), bd.astype(dt),
+                k2[0, 0].astype(dt), b2.astype(dt), keep,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            # explicit names keep the param tree identical to the original
+            # auto-numbered nn.Conv layout (checkpoints + torch porter paths)
+            h = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_0")(x)
+            h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="Conv_0")(h)
+            if keep is not None:
+                h = h * keep.astype(h.dtype)
+            h = DepthwiseConv(self.dim, (5, 5), padding="SAME",
+                              dtype=self.dtype, name="Conv_1")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="Conv_2")(h)
+            x = x + h
         f = int(self.dim * self.mlp_ratio)
         # init always takes the nn.LayerNorm/nn.Conv branch (params are
         # path-independent and Pallas never lowers off-TPU during init,
@@ -177,7 +215,7 @@ class ConvBlock(nn.Module):
                                k2[0, 0].astype(dt), b2.astype(dt),
                                interpret=jax.default_backend() != "tpu")
             return out.reshape(bb, hh, ww, c).astype(dt)
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_1")(x)
         h = nn.Conv(f, (1, 1), dtype=self.dtype, name="Conv_3")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="Conv_4")(h)
@@ -229,6 +267,8 @@ class ConvMAE(nn.Module):
     use_flash_attention: bool = False  # Pallas blockwise attention for the ViT
     use_fused_mlp: bool = False  # Pallas fused conv-MLP (ops.fused_mlp) for
     # the conv-stage MLP halves — VMEM-resident 4× expansion
+    use_fused_front: bool = False  # Pallas fused ConvBlock FIRST half
+    # (ops.fused_convblock): LN → 1×1 → keep → dw5×5 → GELU → 1×1 → residual
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 = mixed precision;
     # params stay f32, loss computed in f32)
     remat_blocks: bool = False  # jax.checkpoint every conv/ViT/decoder block:
@@ -252,11 +292,13 @@ class ConvMAE(nn.Module):
         Blk = nn.remat(Block) if self.remat_blocks else Block
         self.embed1 = nn.Conv(d0, (4, 4), strides=(4, 4), dtype=dt)
         self.embed1_norm = nn.LayerNorm(dtype=dt)
-        self.stage1 = [CB(d0, dtype=dt, use_fused_mlp=self.use_fused_mlp)
+        self.stage1 = [CB(d0, dtype=dt, use_fused_mlp=self.use_fused_mlp,
+                          use_fused_front=self.use_fused_front)
                        for _ in range(self.depths[0])]
         self.embed2 = nn.Conv(d1, (2, 2), strides=(2, 2), dtype=dt)
         self.embed2_norm = nn.LayerNorm(dtype=dt)
-        self.stage2 = [CB(d1, dtype=dt, use_fused_mlp=self.use_fused_mlp)
+        self.stage2 = [CB(d1, dtype=dt, use_fused_mlp=self.use_fused_mlp,
+                          use_fused_front=self.use_fused_front)
                        for _ in range(self.depths[1])]
         self.embed3 = nn.Conv(d2, (2, 2), strides=(2, 2), dtype=dt)
         self.embed3_norm = nn.LayerNorm(dtype=dt)
@@ -379,13 +421,15 @@ class ConvMAE(nn.Module):
 def convmae_convvit_base_patch16_dec512d8b(norm_pix_loss: bool = False,
                                            with_decoder: bool = True,
                                            dtype=jnp.float32,
-                                           use_fused_mlp: bool = False
+                                           use_fused_mlp: bool = False,
+                                           use_fused_front: bool = False
                                            ) -> ConvMAE:
     """Constructor named for discoverability against the reference import
     (``train_ae.py:25``).  ``dtype=jnp.bfloat16`` = mixed-precision compute
     with fp32 params (the measured TPU training/serving configuration)."""
     return ConvMAE(norm_pix_loss=norm_pix_loss, with_decoder=with_decoder,
-                   dtype=dtype, use_fused_mlp=use_fused_mlp)
+                   dtype=dtype, use_fused_mlp=use_fused_mlp,
+                   use_fused_front=use_fused_front)
 
 
 # --------------------------------------------------- torch weight porting
