@@ -130,15 +130,31 @@ def main(argv=None) -> None:
 
     early_stopping = EarlyStopping(patience=params_cfg["patience"],
                                    log=logger.log if logger else None)
+    # device_cache: stage the train split's decoded crops in HBM ONCE and
+    # run every epoch as pure device work (gather → augment → step) — the
+    # r5 measured fix for slow host→device links (61 → 127 img/s end-to-end
+    # on the tunneled v5e; scripts/train_from_disk_bench.py).  Multi-process
+    # runs keep the streaming loader (batches shard host-side).
+    device_dataset = None
+    if params_cfg["device_cache"] and with_image and not multiproc:
+        from ..data import DeviceDataset
+        device_dataset = DeviceDataset(train_records)
+        print(f"device_cache: {len(device_dataset)} crops staged in HBM "
+              f"({device_dataset.images.nbytes / 1e9:.2f} GB)")
     for epoch in range(1, params_cfg["epochs"] + 1):
         order = np.random.RandomState(seed + epoch).permutation(len(df_train))
         if multiproc:  # same permutation everywhere; each host its sub-rows
             order, per_bs, _ = dist.process_epoch_order(order, GLOBAL_BS)
-        train_loader = DeviceLoader(train_records,
-                                    per_bs if multiproc else GLOBAL_BS,
-                                    order=order, transform=train_tf,
-                                    rng_stream=pool["augment"] if with_image
-                                    else None, place=place)
+        if device_dataset is not None:
+            train_loader = device_dataset.loader(
+                GLOBAL_BS, order=order, transform=train_tf,
+                rng_stream=pool["augment"])
+        else:
+            train_loader = DeviceLoader(train_records,
+                                        per_bs if multiproc else GLOBAL_BS,
+                                        order=order, transform=train_tf,
+                                        rng_stream=pool["augment"] if with_image
+                                        else None, place=place)
         state, batch_stats, _, _ = train_epoch(
             train_step, state, batch_stats, train_loader, pool["dropout"],
             logger=logger, epoch=epoch)

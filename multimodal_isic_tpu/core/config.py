@@ -100,6 +100,11 @@ class TrainParameters(_DictAccess):
     fold_bn_eval: bool = False  # serving option: run the FINAL test
     # evaluation with BatchNorm folded into the conv weights
     # (models.efficientnet.fold_batchnorm) — same outputs, no BN ops
+    device_cache: bool = False  # stage the split's decoded 450² crops in
+    # HBM once (data.pipeline.DeviceDataset) and run epochs as pure device
+    # work — the r5 mitigation for slow host→device links (this tunnel moves
+    # ~25-40 MB/s; HAM10000's train split is ~6 GB of a 16 GB chip).
+    # Single-process runs only (multi-process shards batches host-side).
 
 
 @dataclass(frozen=True)

@@ -59,15 +59,18 @@ def _front_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, wd_ref, bd_ref,
         y, w1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
         + b1_ref[:].astype(jnp.float32)).astype(dt)     # [m, c]
+
+    # keep-mask and halo masking happen in the [t+4, w, c] layout: the lane
+    # dim (c) stays put, so no Mosaic shape casts (a (m, 1) reshape of the
+    # (t+4, w) keep slice moves lanes to sublanes — unsupported)
+    img = h1.reshape(t + 4, w, c)
     if has_keep:
-        h1 = h1 * keep_ref[0, pl.ds(i * t, t + 4)].reshape(m, 1).astype(dt)
+        img = img * keep_ref[0, pl.ds(i * t, t + 4)].astype(dt)  # [t+4,w,1]
     # zero the halo rows that lie outside the real image: the unfused
     # depthwise sees SAME-padding zeros there, not LN(0)-propagated values
-    local = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // w
-    real = i * t + local - 2
-    h1 = jnp.where((real >= 0) & (real < h), h1, jnp.zeros_like(h1))
-
-    img = h1.reshape(t + 4, w, c)
+    row = jax.lax.broadcasted_iota(jnp.int32, (t + 4, w, c), 0)
+    real = i * t + row - 2
+    img = jnp.where((real >= 0) & (real < h), img, jnp.zeros_like(img))
     imgp = jnp.pad(img, ((0, 0), (2, 2), (0, 0)))       # W-axis SAME pad
     acc = jnp.zeros((t, w, c), jnp.float32)
     for ky in range(5):
@@ -122,9 +125,10 @@ def _fused_forward(x, ls, lb, w1, b1, wd, bd, w2, b2, keep, eps: float,
     xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0)))   # row halo
     has_keep = keep is not None
     if has_keep:
-        keepp = jnp.pad(keep.reshape(b_, h_, w_), ((0, 0), (2, 2), (0, 0)))
+        keepp = jnp.pad(keep.reshape(b_, h_, w_, 1),
+                        ((0, 0), (2, 2), (0, 0), (0, 0)))
     else:  # dummy operand keeps one kernel signature
-        keepp = jnp.zeros((b_, 1, w_), x.dtype)
+        keepp = jnp.zeros((b_, 1, w_, 1), x.dtype)
     out = pl.pallas_call(
         functools.partial(_front_kernel, eps=eps, t=t, h=h_, w=w_,
                           has_keep=has_keep),
@@ -139,8 +143,8 @@ def _fused_forward(x, ls, lb, w1, b1, wd, bd, w2, b2, keep, eps: float,
             pl.BlockSpec((1, c), lambda b, i: (0, 0)),
             pl.BlockSpec((c, c), lambda b, i: (0, 0)),      # resident
             pl.BlockSpec((1, c), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, h_ + 4 if has_keep else 1, w_),
-                         lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, h_ + 4 if has_keep else 1, w_, 1),
+                         lambda b, i: (b, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, t, w_, c), lambda b, i: (b, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b_, h_, w_, c), x.dtype),

@@ -340,6 +340,29 @@ def test_decoded_cache_identical_batches_and_skips_decode(dataset):
                 np.testing.assert_array_equal(b1[k], br[k])
 
 
+def test_device_dataset_matches_streaming_loader(dataset):
+    """HBM-resident DeviceDataset epochs reproduce the streaming
+    DeviceLoader's batches exactly (same order, same deterministic
+    transform) — the contract behind `device_cache: true` and the r5
+    disk-train mitigation."""
+    from multimodal_isic_tpu.data import DeviceDataset
+
+    cfg, df_train, _ = dataset
+    records = DermRecords(df_train, staging_hw=(90, 90))
+    order = np.arange(len(df_train))[::-1].copy()
+    stream = list(DeviceLoader(records, 8, order=order,
+                               transform=augment.POLICIES["mae_eval"]))
+    dset = DeviceDataset(records, upload_batch=6)
+    resident = list(dset.loader(8, order=order,
+                                transform=augment.POLICIES["mae_eval"]))
+    assert len(stream) == len(resident)
+    for b1, b2 in zip(stream, resident):
+        assert set(b1) == set(b2)
+        for k in b1:
+            np.testing.assert_allclose(np.asarray(b1[k]), np.asarray(b2[k]),
+                                       rtol=1e-6, atol=1e-6)
+
+
 def test_device_loader_propagates_worker_errors(dataset):
     cfg, df_train, _ = dataset
     df_bad = df_train.copy()
