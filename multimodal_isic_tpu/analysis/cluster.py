@@ -114,20 +114,18 @@ def trustworthiness(x: np.ndarray, emb: np.ndarray, n_neighbors: int = 5) -> flo
     n = x.shape[0]
     k = n_neighbors
 
-    def ranks(a):
-        d = ((a[:, None, :] - a[None, :, :]) ** 2).sum(-1)
+    def sq_dists(a):
+        # gram-trick pairwise distances: O(N²) memory, not the O(N²·D)
+        # broadcast-difference tensor (103 GB at a 4096×768 sample — the
+        # r5 2M-chain smoke found the old form by OOM)
+        sq = (a ** 2).sum(-1)
+        d = sq[:, None] - 2.0 * (a @ a.T) + sq[None, :]
         np.fill_diagonal(d, np.inf)
-        return np.argsort(np.argsort(d, axis=1), axis=1)  # rank 0 = nearest
+        return d
 
-    r_x = ranks(x)
-    d_e = ((emb[:, None, :] - emb[None, :, :]) ** 2).sum(-1)
-    np.fill_diagonal(d_e, np.inf)
-    nn_e = np.argsort(d_e, axis=1)[:, :k]
+    r_x = np.argsort(np.argsort(sq_dists(x), axis=1), axis=1)  # rank 0 = NN
+    nn_e = np.argsort(sq_dists(emb), axis=1)[:, :k]
 
-    t = 0.0
-    for i in range(n):
-        for j in nn_e[i]:
-            rank = r_x[i, j]
-            if rank >= k:
-                t += rank - k + 1
+    rank = np.take_along_axis(r_x, nn_e, axis=1).astype(np.float64)
+    t = float(np.where(rank >= k, rank - k + 1, 0.0).sum())
     return float(1.0 - 2.0 / (n * k * (2 * n - 3 * k - 1)) * t)

@@ -32,6 +32,11 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
+
+if os.environ.get("DEMO_PLATFORM"):  # e.g. cpu for smoke runs — the
+    # sitecustomize pre-imports jax, so plain JAX_PLATFORMS can't stick
+    jax.config.update("jax_platforms", os.environ["DEMO_PLATFORM"])
+
 import jax.numpy as jnp  # noqa: E402
 
 from multimodal_isic_tpu.analysis.ann import approx_knn_graph  # noqa: E402

@@ -57,6 +57,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    if os.environ.get("DEMO_PLATFORM"):  # e.g. cpu for smoke runs — the
+        # sitecustomize pre-imports jax, so plain JAX_PLATFORMS can't stick
+        jax.config.update("jax_platforms", os.environ["DEMO_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

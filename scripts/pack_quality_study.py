@@ -33,12 +33,19 @@ from multimodal_isic_tpu.hpo.population import run_population_search  # noqa: E4
 from multimodal_isic_tpu.train.mil import train_mil  # noqa: E402
 
 
-def make_bags(seed, n=80, patches=24, dim=16, n_classes=3):
+def make_bags(seed, n=96, patches=12, dim=16, n_classes=4, signal=0.14):
+    """Deliberately HARD bags (weak signal in a small fraction of patches):
+    at a saturating difficulty every config reaches bacc 1.0 and the study
+    measures nothing."""
     rs = np.random.RandomState(seed)
     dirs = rs.randn(n_classes, dim).astype(np.float32)
     labels = rs.randint(0, n_classes, n)
-    feats = [(0.35 * dirs[labels[i]]
-              + rs.randn(patches, dim)).astype(np.float32) for i in range(n)]
+    feats = []
+    for i in range(n):
+        f = rs.randn(patches, dim).astype(np.float32)
+        hot = rs.rand(patches) < 0.35  # signal only in ~a third of patches
+        f[hot] += signal * dirs[labels[i]]
+        feats.append(f)
     return {"train_feats": feats, "train_labels": labels.tolist(),
             "test_feats": [], "test_labels": []}
 
