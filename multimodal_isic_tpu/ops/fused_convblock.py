@@ -27,8 +27,20 @@ accumulated in f32 with the bias added in the compute dtype (as
 ``DepthwiseConv``), exact-erf GELU.
 
 Backward is recompute-based ``jax.vjp`` over the XLA reference — exact
-gradients, no stored intermediates (the forward kernel is serving/encode
-oriented; the train step keeps XLA's fused backward).
+gradients, no stored intermediates.
+
+MEASURED NEGATIVE (r5, ConvMAE-base bf16 bs=64 on v5e, loss match 4e-6):
+forward 1898 → 1797 img/s (0.95×), train 718 → 620 img/s (0.86×), identical
+at row tiles t=14 and t=28.  Unlike the second half (``fused_ln_mlp``, +10%
+train), the first half's matmuls are square C→C (no 4× expansion), so the
+HBM bytes the kernel saves are ~3× smaller, while it still pays the
+pallas-boundary fusion breaks, the in-kernel VPU depthwise (the same
+arithmetic floor the r4 MBConv study measured XLA already sitting at), and
+the k-row halo recompute; the recompute-vjp backward then re-runs the whole
+block once more.  Same conclusion as the serving study: fusing past a
+depthwise on TPU needs a different depthwise algorithm, not a fused
+schedule.  The flag stays as a tested, numerics-proven A/B option
+(``ConvMAE(use_fused_front=True)``), default OFF.
 """
 
 from __future__ import annotations
