@@ -536,6 +536,55 @@ def _train_population(
     return reports
 
 
+def estimate_trial_param_bytes(model_type: str, shape_config: Dict,
+                               input_dim: int, num_classes: int) -> int:
+    """f32 parameter bytes of ONE trial of this shape config (via
+    ``jax.eval_shape`` — no device allocation)."""
+    if model_type == "graph-mil":
+        from ..train.mil import graph_mil_from_config
+        model = graph_mil_from_config(shape_config, input_dim, num_classes)
+        shapes = jax.eval_shape(
+            lambda r: model.init({"params": r, "dropout": r},
+                                 jnp.zeros((4, input_dim)), jnp.eye(4),
+                                 valid=jnp.ones(4, bool)),
+            jax.random.PRNGKey(0))
+    else:
+        model = AttentionMIL(input_dim=input_dim,
+                             hidden_dim=int(shape_config["hidden_dim"]),
+                             att_dim=int(shape_config["att_dim"]),
+                             dropout=0.0, num_classes=num_classes)
+        shapes = jax.eval_shape(
+            lambda r: model.init({"params": r, "dropout": r},
+                                 jnp.zeros((4, input_dim)),
+                                 valid=jnp.ones(4, bool)),
+            jax.random.PRNGKey(0))
+    return int(sum(int(np.prod(l.shape)) * 4
+                   for l in jax.tree_util.tree_leaves(shapes)))
+
+
+def max_cohort_for_shape(model_type: str, shape_config: Dict, input_dim: int,
+                         num_classes: int, cohort_size: int) -> int:
+    """Largest sub-cohort whose resident device state fits the HBM budget.
+
+    A packed trial holds FIVE f32 param copies on device (live params, Adam
+    m/v, and the two best-checkpoint trackers the reference's dual-best
+    protocol requires) plus ~1 transient copy of grads/updates; the
+    reference's flagship space reaches ~536 MB of params per trial
+    (gnn_hidden 512 × 8 concat heads × 8 layers), so a fixed cohort of 8
+    OOMs a 16 GB chip — 20.4 GB measured (r5).  The budget defaults to
+    10 GiB (leaving headroom for eval activations and the bag scan) and is
+    overridable via ``GRAFT_HPO_HBM_GB``."""
+    import os
+    budget = float(os.environ.get("GRAFT_HPO_HBM_GB", "10")) * (1 << 30)
+    per_trial = 6 * estimate_trial_param_bytes(model_type, shape_config,
+                                               input_dim, num_classes)
+    s = max(1, int(budget // max(per_trial, 1)))
+    p = 1
+    while p * 2 <= min(s, cohort_size):  # power of 2: compaction-friendly
+        p *= 2
+    return p
+
+
 def run_population_search(
     space: Dict,
     data: Dict,
@@ -601,11 +650,30 @@ def run_population_search(
             continue
         shape_config = {k: full[0][k] for k in shape_keys if k in full[0]}
         pop = {k: np.array([cfg[k] for cfg in full]) for k in pop_keys}
-        reports = trainer(
-            shape_config, pop, data, seed=seed, num_classes=num_classes,
-            patience=patience, max_epochs=max_epochs,
-            scheduler=scheduler,
-            trial_ids=[f"cohort{c:03d}_t{t:02d}" for t in range(P)])
+        # memory-aware packing: big architectures (the graph space reaches
+        # ~536 MB of params/trial) train in sub-cohorts that fit HBM — the
+        # same adaptation the reference makes statically by capping 4
+        # trials/GPU (tune_mil.py:33); per-trial semantics are unchanged
+        # (same seed, same split, same trial ids)
+        input_dim = int(np.asarray(data["train_feats"][0]).shape[1])
+        sub = max_cohort_for_shape(
+            "graph-mil" if model_type == "graph-mil" else "mil",
+            shape_config, input_dim, num_classes, cohort_size)
+        if verbose and sub < P:
+            print(f"cohort {c}: splitting {P} trials into sub-cohorts of "
+                  f"{sub} (per-trial params "
+                  f"{estimate_trial_param_bytes(model_type, shape_config, input_dim, num_classes) / 1e6:.0f} MB)",
+                  flush=True)
+        reports = []
+        for s0 in range(0, P, sub):
+            sl = slice(s0, min(s0 + sub, P))
+            reports.extend(trainer(
+                shape_config, {k: v[sl] for k, v in pop.items()}, data,
+                seed=seed, num_classes=num_classes,
+                patience=patience, max_epochs=max_epochs,
+                scheduler=scheduler,
+                trial_ids=[f"cohort{c:03d}_t{t:02d}"
+                           for t in range(sl.start, sl.stop)]))
         cohort_rows[c] = []
         for t, rep in enumerate(reports):
             cfg = {**shape_config, **{k: float(pop[k][t]) for k in pop_keys}}

@@ -292,6 +292,34 @@ GRAPH_SHAPE_CFG = {
 }
 
 
+def test_memory_aware_cohort_splitting(rng, monkeypatch):
+    """Big-architecture cohorts split into HBM-sized sub-cohorts (the r5 fix
+    for the measured 20.4 GB OOM at the graph space's large end) without
+    changing trial count, ids, or results' schema."""
+    from multimodal_isic_tpu.hpo.population import (
+        estimate_trial_param_bytes, max_cohort_for_shape,
+        run_population_search)
+
+    big = dict(GRAPH_SHAPE_CFG, gnn_hidden=512, gnn_layers=8, gnn_heads=8,
+               gnn_concat=True, att_dim=512, classifier_dim=512)
+    small_b = estimate_trial_param_bytes("graph-mil", GRAPH_SHAPE_CFG, 12, 3)
+    big_b = estimate_trial_param_bytes("graph-mil", big, 12, 3)
+    assert big_b > 100 * small_b
+    assert big_b > 400e6  # the flagship-space worst case really is ~0.5 GB
+    assert max_cohort_for_shape("graph-mil", GRAPH_SHAPE_CFG, 12, 3, 8) == 8
+    assert max_cohort_for_shape("graph-mil", big, 12, 3, 8) <= 2
+
+    # force splitting on a small space and check the search is intact
+    monkeypatch.setenv("GRAFT_HPO_HBM_GB", "0.000004")  # ~4 KB budget
+    data = _mil_bags(rng, n=24)
+    out = run_population_search(dict(MIL_SPACE), data, num_samples=4,
+                                cohort_size=4, seed=0, max_epochs=2,
+                                patience=2, num_classes=3, verbose=False)
+    assert len(out["results"]) == 4
+    assert sorted(out["results"]["trial_id"]) == [
+        f"cohort000_t{t:02d}" for t in range(4)]
+
+
 def test_graph_population_member_matches_sequential_trial(rng):
     """A packed graph-MIL cohort member reproduces the sequential
     train_graph_mil result for the same config/seed (dropout rates 0 so
