@@ -181,6 +181,15 @@ class DeviceDataset:
     def __len__(self):
         return len(self.records)
 
+    def epoch_order(self, batch_size: int,
+                    order: Optional[np.ndarray] = None) -> np.ndarray:
+        """(n_steps, batch_size) int32 gather indices for the fused-epoch
+        path (``train.fusion.make_fusion_train_epoch``); drops the final
+        partial batch (the scan needs a static step shape)."""
+        order = np.arange(len(self)) if order is None else np.asarray(order)
+        n = (len(order) // batch_size) * batch_size
+        return order[:n].reshape(-1, batch_size).astype(np.int32)
+
     def loader(self, batch_size: int, order: Optional[np.ndarray] = None,
                transform: Optional[Callable] = None, rng_stream=None,
                drop_last: bool = False) -> Iterator[Dict]:

@@ -217,10 +217,40 @@ def main(argv=None):
         device_epochs.append(dt)
         log(f"E. epoch {epoch}: {dt:.1f}s = {n_epoch / dt:.1f} img/s")
 
+    # ---- stage F: HBM-resident + FUSED epoch (one scanned program) --------
+    from multimodal_isic_tpu.train.fusion import make_fusion_train_epoch
+    epoch_fn = make_fusion_train_epoch(model, opt, transform=transform)
+    order_rng = np.random.RandomState(0)
+    fused_epochs = []
+    st, stats = state, batch_stats
+    key = jax.random.PRNGKey(11)
+    t0 = time.time()
+    order = dset.epoch_order(args.batch, order=order_rng.permutation(len(recs)))
+    st, stats, loss, _ = epoch_fn(st, stats, dset.images, dset.masks,
+                                  dset.meta, jnp.asarray(order), key)
+    _ = float(loss)
+    log(f"F. fused epoch compiled+ran in {time.time() - t0:.0f}s")
+    for epoch in range(args.epochs):
+        order = dset.epoch_order(args.batch,
+                                 order=order_rng.permutation(len(recs)))
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        st, stats, loss, _ = epoch_fn(st, stats, dset.images, dset.masks,
+                                      dset.meta, jnp.asarray(order), sub)
+        _ = float(loss)  # close the epoch's device chain
+        dt = time.time() - t0
+        fused_epochs.append(dt)
+        log(f"F. epoch {epoch}: {dt:.1f}s = {n_epoch / dt:.1f} img/s")
+
     steady_nc = min(no_cache[1:]) if len(no_cache) > 1 else no_cache[0]
     steady_c = min(cached[1:]) if len(cached) > 1 else cached[0]
     steady_d = (min(device_epochs[1:]) if len(device_epochs) > 1
                 else device_epochs[0])
+    steady_f = min(fused_epochs)
+    result.update({
+        "e2e_fused_epoch_s": [round(x, 1) for x in fused_epochs],
+        "e2e_fused_img_per_s": round(n_epoch / steady_f, 1),
+    })
     result.update({
         "e2e_nocache_epoch_s": [round(x, 1) for x in no_cache],
         "e2e_cache_epoch_s": [round(x, 1) for x in cached],
@@ -239,7 +269,8 @@ def main(argv=None):
         f"{dev_rate:.0f} img/s → uncached bottleneck = {bottleneck}; "
         f"steady-state {n_epoch / steady_nc:.0f} img/s uncached → "
         f"{n_epoch / steady_c:.0f} img/s with the staging cache → "
-        f"{n_epoch / steady_d:.0f} img/s HBM-resident")
+        f"{n_epoch / steady_d:.0f} img/s HBM-resident → "
+        f"{n_epoch / steady_f:.0f} img/s HBM-resident fused epoch")
 
 
 if __name__ == "__main__":

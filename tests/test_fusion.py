@@ -301,3 +301,71 @@ def test_fusion_with_image_features_path(rng):
                            image_features=feats, train=False)
     out = model.apply(variables, image_features=feats, train=False)
     assert out.shape == (3, NC)
+
+
+def test_fused_epoch_matches_per_step_loop(rng):
+    """make_fusion_train_epoch (one scanned program per epoch, the r5
+    HBM-resident hot path) reproduces the manual per-step loop bit-for-bit:
+    same gathers, same augment/dropout key streams, same final params."""
+    from multimodal_isic_tpu.train.fusion import make_fusion_train_epoch
+
+    n, bs = 12, 4
+    model = MultiModalFusionNet(modality=MODS, fusion_level="intermediate",
+                                fusion_strategy="concat", radiomics_dim=20)
+    meta = {k: jnp.asarray(v) for k, v in _batch(rng, n=n).items()}
+    images = jnp.asarray(rng.randint(0, 255, (n, 8, 8, 3)), jnp.uint8)
+    masks = jnp.asarray(rng.randint(0, 2, (n, 8, 8)), jnp.uint8)
+    init_b = {k: np.asarray(v[:2]) for k, v in meta.items()}
+    params, batch_stats = init_fusion(model, jax.random.PRNGKey(0), init_b)
+    opt = fusion_optimizer(lr=0.05)
+
+    # a stochastic transform so the augment key stream is exercised (the
+    # model ignores 'image' for these modalities, but gather+keys must match)
+    def transform(img, msk, key):
+        noise = jax.random.normal(key, img.shape, jnp.float32)
+        return img.astype(jnp.float32) + noise, msk
+
+    order = np.arange(n)[: (n // bs) * bs].reshape(-1, bs).astype(np.int32)
+    key = jax.random.PRNGKey(7)
+
+    epoch_fn = make_fusion_train_epoch(model, opt, transform=transform)
+    st = TrainState.create(params, opt, jax.random.PRNGKey(1))
+    st_f, stats_f, loss_f, corr_f = epoch_fn(
+        st, batch_stats, images, masks, meta, jnp.asarray(order), key)
+
+    # manual loop with the documented key derivation
+    step = make_fusion_train_step(model, opt)
+    k_aug, k_drop = jax.random.split(key)
+    aug_keys = jax.random.split(k_aug, order.shape[0])
+    drop_keys = jax.random.split(k_drop, order.shape[0])
+    st_m, stats_m = TrainState.create(params, opt, jax.random.PRNGKey(1)), batch_stats
+    losses, corrects = [], 0
+    for i, idx in enumerate(order):
+        batch = {k: jnp.take(v, jnp.asarray(idx), axis=0)
+                 for k, v in meta.items()}
+        img = jnp.take(images, jnp.asarray(idx), axis=0)
+        msk = jnp.take(masks, jnp.asarray(idx), axis=0)
+        img, msk = transform(img, msk, aug_keys[i])
+        batch["image"] = img
+        st_m, stats_m, loss, ncorr = step(st_m, stats_m, batch, drop_keys[i])
+        losses.append(float(loss))
+        corrects += int(ncorr)
+
+    assert np.allclose(float(loss_f), np.mean(losses), rtol=1e-6)
+    assert int(corr_f) == corrects
+    for a, b in zip(jax.tree_util.tree_leaves(st_f.params),
+                    jax.tree_util.tree_leaves(st_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-7)
+
+
+def test_device_dataset_epoch_order():
+    """epoch_order reshapes a shuffle into (n_steps, B) and drops the tail."""
+    from multimodal_isic_tpu.data.pipeline import DeviceDataset
+
+    order = np.random.RandomState(0).permutation(11)
+    out = DeviceDataset.epoch_order.__get__(
+        type("D", (), {"__len__": lambda s: 11})()
+    )(4, order=order)
+    assert out.shape == (2, 4) and out.dtype == np.int32
+    assert (out.ravel() == order[:8]).all()
