@@ -106,6 +106,7 @@ def main(argv=None) -> None:
                                 fusion_level=plan["fusion_level"],
                                 fusion_strategy=plan["fusion"],
                                 radiomics_dim=rad_dim,
+                                backbone=params_cfg["backbone"],
                                 backbone_remat=params_cfg["backbone_remat"])
     # one run record per JOB, not per process: non-coordinators train the
     # same global program but stay silent
@@ -130,15 +131,20 @@ def main(argv=None) -> None:
 
     early_stopping = EarlyStopping(patience=params_cfg["patience"],
                                    log=logger.log if logger else None)
-    # device_cache: stage the train split's decoded crops in HBM ONCE and
-    # run every epoch as pure device work (gather → augment → step) — the
-    # r5 measured fix for slow host→device links (61 → 127 img/s end-to-end
-    # on the tunneled v5e; scripts/train_from_disk_bench.py).  Multi-process
+    # device_cache: stage the train split's decoded crops in HBM ONCE, then
+    # run every epoch as ONE scanned device program (gather → augment →
+    # step; train.fusion.make_fusion_train_epoch) — the r5 measured fix for
+    # slow host→device links and per-batch dispatch overhead
+    # (61 img/s streaming → 127 per-batch resident → fused epoch, see
+    # scripts/train_from_disk_bench.py / BENCH_DISK.json).  Multi-process
     # runs keep the streaming loader (batches shard host-side).
-    device_dataset = None
+    device_dataset, fused_epoch = None, None
     if params_cfg["device_cache"] and with_image and not multiproc:
         from ..data import DeviceDataset
+        from ..train.fusion import log_train_epoch, make_fusion_train_epoch
         device_dataset = DeviceDataset(train_records)
+        fused_epoch = make_fusion_train_epoch(model, optimizer,
+                                              transform=train_tf)
         print(f"device_cache: {len(device_dataset)} crops staged in HBM "
               f"({device_dataset.images.nbytes / 1e9:.2f} GB)")
     for epoch in range(1, params_cfg["epochs"] + 1):
@@ -146,18 +152,22 @@ def main(argv=None) -> None:
         if multiproc:  # same permutation everywhere; each host its sub-rows
             order, per_bs, _ = dist.process_epoch_order(order, GLOBAL_BS)
         if device_dataset is not None:
-            train_loader = device_dataset.loader(
-                GLOBAL_BS, order=order, transform=train_tf,
-                rng_stream=pool["augment"])
+            step_idx = device_dataset.epoch_order(GLOBAL_BS, order=order)
+            state, batch_stats, ep_loss, ncorr = fused_epoch(
+                state, batch_stats, device_dataset.images,
+                device_dataset.masks, device_dataset.meta, step_idx,
+                pool["fused_epoch"].next())
+            log_train_epoch(logger, state, epoch, float(ep_loss),
+                            int(ncorr) / step_idx.size)
         else:
             train_loader = DeviceLoader(train_records,
                                         per_bs if multiproc else GLOBAL_BS,
                                         order=order, transform=train_tf,
                                         rng_stream=pool["augment"] if with_image
                                         else None, place=place)
-        state, batch_stats, _, _ = train_epoch(
-            train_step, state, batch_stats, train_loader, pool["dropout"],
-            logger=logger, epoch=epoch)
+            state, batch_stats, _, _ = train_epoch(
+                train_step, state, batch_stats, train_loader, pool["dropout"],
+                logger=logger, epoch=epoch)
         val_loss = validate_epoch(eval_step, state.params, batch_stats,
                                   val_loader, logger=logger, epoch=epoch,
                                   n_true=val_n, group_size=GLOBAL_BS)
@@ -196,9 +206,10 @@ def main(argv=None) -> None:
         folded_model = MultiModalFusionNet(
             modality=plan["modality"], fusion_level=plan["fusion_level"],
             fusion_strategy=plan["fusion"], radiomics_dim=rad_dim,
-            backbone_bn_folded=True)
+            backbone=params_cfg["backbone"], backbone_bn_folded=True)
         folded = fold_fusion_params(jax.device_get(restored["params"]),
-                                    jax.device_get(restored["batch_stats"]))
+                                    jax.device_get(restored["batch_stats"]),
+                                    backbone=params_cfg["backbone"])
         if multiproc:
             folded = jax.device_put(folded, replicated(mesh))
         evaluate_test(make_fusion_eval_step(folded_model), folded, {},

@@ -94,6 +94,9 @@ class TrainParameters(_DictAccess):
     # only on TPU with lane-aligned dims (base model), ignored for 'tiny'
     remat_blocks: bool = False  # jax.checkpoint ConvMAE blocks: ~1/3 extra
     # fwd FLOPs for O(depth) less activation HBM (bs=64 -> 256 on 16 GB)
+    backbone: str = "efficientnet-b3"  # fusion image backbone (the
+    # reference is fixed to B3, model.py:58; smaller variants serve tests
+    # and scaled-down deployments)
     backbone_remat: str = "none"  # EfficientNet activation remat for the
     # fusion train step: 'none' | 'conv' (save only conv outputs; recompute
     # BN/silu/SE chains in backward) | 'block' (save block boundaries only)

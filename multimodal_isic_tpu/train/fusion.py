@@ -163,15 +163,23 @@ def train_epoch(step_fn, state, batch_stats, loader, rng_stream, logger=None,
         total += int(batch["target"].shape[0])
     epoch_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
     epoch_acc = correct / max(total, 1)
-    if logger is not None:
-        logger.log("train/epoch_loss", epoch_loss, step=epoch)
-        logger.log("train/epoch_acc", epoch_acc, step=epoch)
-        if "weights" in state.params:  # fusion weights, net_utils.py:40-43
-            for i, w in enumerate(np.asarray(state.params["weights"]).tolist()):
-                logger.log(f"model/fusion_weight_modality_{i}", w, step=epoch)
-        logger.print(f"Epoch {epoch} - Train Loss: {epoch_loss:.4f}, "
-                     f"Accuracy: {epoch_acc:.4f}")
+    log_train_epoch(logger, state, epoch, epoch_loss, epoch_acc)
     return state, batch_stats, epoch_loss, epoch_acc
+
+
+def log_train_epoch(logger, state, epoch: int, epoch_loss: float,
+                    epoch_acc: float) -> None:
+    """Per-epoch train logging (reference ``net_utils.py:34-43``): loss/acc
+    plus the learnable fusion weights when present."""
+    if logger is None:
+        return
+    logger.log("train/epoch_loss", epoch_loss, step=epoch)
+    logger.log("train/epoch_acc", epoch_acc, step=epoch)
+    if "weights" in state.params:  # fusion weights, net_utils.py:40-43
+        for i, w in enumerate(np.asarray(state.params["weights"]).tolist()):
+            logger.log(f"model/fusion_weight_modality_{i}", w, step=epoch)
+    logger.print(f"Epoch {epoch} - Train Loss: {epoch_loss:.4f}, "
+                 f"Accuracy: {epoch_acc:.4f}")
 
 
 def validate_epoch(eval_fn, params, batch_stats, loader, logger=None,

@@ -63,6 +63,37 @@ def test_fusion_main_cli(workspace):
     assert os.listdir(root / "models"), "best model persisted"
 
 
+def test_fusion_main_cli_device_cache_fused_epoch(workspace, monkeypatch):
+    """Image modality + device_cache: the CLI stages crops in HBM and runs
+    each epoch as ONE scanned program (make_fusion_train_epoch).  Driven at
+    test scale: efficientnet-b0 backbone (config key added r5) and 64×64
+    augment policies."""
+    from functools import partial
+
+    from multimodal_isic_tpu.cli import main as fusion_main
+    from multimodal_isic_tpu.data import augment
+
+    root, cfg, dirs = workspace
+    config = yaml.safe_load(open(cfg))
+    config["training_plan"]["modality"] = ["image", "clinical"]
+    config["training_plan"]["parameters"].update(
+        {"device_cache": True, "backbone": "efficientnet-b0", "epochs": 2})
+    cfg2 = root / "config_devcache.yml"
+    cfg2.write_text(yaml.safe_dump(config))
+
+    small_train = augment._batched(
+        partial(augment.fusion_train_transform, out_hw=(64, 64)),
+        stochastic=True)
+    small_eval = augment._batched(
+        partial(augment.fusion_eval_transform, out_hw=(64, 64)),
+        stochastic=False)
+    monkeypatch.setitem(augment.POLICIES, "fusion_train", small_train)
+    monkeypatch.setitem(augment.POLICIES, "fusion_eval", small_eval)
+
+    fusion_main.main(["--config_path", str(cfg2)])
+    assert os.listdir(root / "models"), "best model persisted"
+
+
 def test_mil_cli_chain(workspace, rng):
     """tune_mil + use_latent over a synthetic patch-level frame."""
     from multimodal_isic_tpu.cli import tune_mil, use_latent
