@@ -171,6 +171,52 @@ def main(argv=None) -> None:
                     logger.artifact_path(f"image_comparison_{i + 1}_ep{epoch}.png"),
                     norm_pix_loss=params_cfg["norm_pix_loss"])
 
+    # device_cache: stage both splits' decoded crops in HBM once and run
+    # every train/val epoch as ONE scanned device program — the r5 fix for
+    # per-batch dispatch overhead on slow links (see cli.main / BENCH_DISK).
+    fused_train = fused_val = None
+    if params_cfg["device_cache"] and not multiproc:
+        import jax.numpy as jnp
+
+        from ..data import DeviceDataset
+        from ..train.mae import (make_mae_eval_epoch, make_mae_eval_step,
+                                 make_mae_train_epoch, mae_optimizer)
+        train_dset = DeviceDataset(train_records)
+        val_dset = DeviceDataset(val_records)
+        print(f"device_cache: {len(train_dset)} train + {len(val_dset)} val "
+              f"crops staged in HBM")
+        optimizer = mae_optimizer()
+        train_ep = make_mae_train_epoch(
+            model, optimizer, params_cfg["masking_ratio"],
+            use_lesion_mask=params_cfg["include_lesion_mask"],
+            transform=augment.POLICIES["mae_train"])
+        val_ep = make_mae_eval_epoch(model, params_cfg["eval_masking_ratio"],
+                                     transform=augment.POLICIES["mae_eval"])
+        val_tail_step = make_mae_eval_step(model,
+                                           params_cfg["eval_masking_ratio"])
+        val_bs = min(64, len(val_dset))
+        n_full = len(val_dset) // val_bs
+        val_order = np.arange(n_full * val_bs).reshape(-1, val_bs).astype(
+            np.int32)
+        tail = np.arange(n_full * val_bs, len(val_dset))
+
+        def fused_train(state, epoch, key):
+            order = weighted_sample_indices(
+                df_train["dx"].values.astype(int), None, sampler_rng)
+            step_idx = train_dset.epoch_order(batch_size, order=order)
+            return train_ep(state, train_dset.images, train_dset.masks,
+                            jnp.asarray(step_idx), key)
+
+        def fused_val(cur_params, key):
+            loss = float(val_ep(cur_params, val_dset.images, val_dset.masks,
+                                jnp.asarray(val_order), key)) * len(
+                                    val_order.ravel())
+            if len(tail):  # partial final batch, evaluated outside the scan
+                img, msk = augment.POLICIES["mae_eval"](
+                    val_dset.images[tail[0]:], val_dset.masks[tail[0]:])
+                loss += float(val_tail_step(cur_params, img, key)) * len(tail)
+            return loss / len(val_dset)
+
     coord = dist.is_coordinator()
     result = train_mae(
         model, params, train_batches, val_batches,
@@ -187,6 +233,7 @@ def main(argv=None) -> None:
         # wrap-padded multi-process val loader: trim gathered per-sample
         # losses back to the true val-set size before averaging
         val_n_true=len(val_records) if multiproc else None,
+        fused_train=fused_train, fused_val=fused_val,
     )
 
     if coord:

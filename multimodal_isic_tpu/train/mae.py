@@ -66,6 +66,70 @@ def make_mae_train_step(model: ConvMAE, optimizer: Optimizer, mask_ratio: float,
     return step
 
 
+def make_mae_train_epoch(model: ConvMAE, optimizer: Optimizer,
+                         mask_ratio: float, use_lesion_mask: bool = False,
+                         transform: Optional[Callable] = None) -> Callable:
+    """One FULL MAE training epoch as a single jitted program over an
+    HBM-resident dataset: ``lax.scan`` over steps of [gather → augment →
+    masked-autoencoder train step].  Same motivation and key-derivation
+    contract as ``train.fusion.make_fusion_train_epoch`` (per-batch
+    dispatches cost ~0.8 s each on the tunneled backend); this is the TPU
+    form of the reference's MAE hot loop (``train_ae.py:163-216``).
+
+    Returns ``epoch(state, images, masks, order, key) → (state, mean_loss)``
+    with ``order`` (n_steps, B) int32 host-resampled gather indices.
+    """
+    step = make_mae_train_step(model, optimizer, mask_ratio, use_lesion_mask)
+
+    @jax.jit
+    def epoch(state: TrainState, images, masks, order, key):
+        n_steps = order.shape[0]
+        k_aug, k_step = jax.random.split(key)
+        aug_keys = jax.random.split(k_aug, n_steps)
+        step_keys = jax.random.split(k_step, n_steps)
+
+        def body(st, xs):
+            idx, ka, kd = xs
+            img = jnp.take(images, idx, axis=0)
+            msk = jnp.take(masks, idx, axis=0)
+            if transform is not None:
+                img, msk = transform(img, msk, ka)
+            st, loss = step(st, img, msk, kd)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state,
+                                     (order, aug_keys, step_keys))
+        return state, losses.mean()
+
+    return epoch
+
+
+def make_mae_eval_epoch(model: ConvMAE, eval_mask_ratio: float,
+                        transform: Optional[Callable] = None) -> Callable:
+    """Validation twin of :func:`make_mae_train_epoch`: one scanned program
+    of [gather → eval transform → masked eval loss] over the val split.
+    ``transform`` is the deterministic eval policy (images, masks) →
+    (images, masks).  Returns ``epoch(params, images, masks, order, key) →
+    mean_loss`` (masking keys derived per step from ``key``)."""
+    eval_step = make_mae_eval_step(model, eval_mask_ratio)
+
+    @jax.jit
+    def epoch(params, images, masks, order, key):
+        keys = jax.random.split(key, order.shape[0])
+
+        def body(carry, xs):
+            idx, k = xs
+            img = jnp.take(images, idx, axis=0)
+            if transform is not None:
+                img, _ = transform(img, jnp.take(masks, idx, axis=0))
+            return carry, eval_step(params, img, k)
+
+        _, losses = jax.lax.scan(body, None, (order, keys))
+        return losses.mean()
+
+    return epoch
+
+
 def make_mae_eval_step(model: ConvMAE, eval_mask_ratio: float) -> Callable:
     """Returns jitted (params, images, key) → loss."""
 
@@ -137,6 +201,8 @@ def train_mae(
     checkpoint_dir: Optional[str] = None,
     epoch_hook: Optional[Callable] = None,
     val_n_true: Optional[int] = None,
+    fused_train: Optional[Callable] = None,
+    fused_val: Optional[Callable] = None,
 ) -> Dict:
     """Epoch loop.  ``train_batches(epoch)`` / ``val_batches()`` yield dicts
     with device-resident 'image' (and 'mask' when lesion-guided).  Returns
@@ -145,7 +211,14 @@ def train_mae(
     ``val_n_true`` (multi-process): the val loader wrap-pads its order to
     full global batches, so per-sample losses are gathered in global order
     and trimmed to the first ``val_n_true`` rows before averaging — padding
-    duplicates never skew best-val selection."""
+    duplicates never skew best-val selection.
+
+    ``fused_train(state, epoch, key) → (state, loss)`` /
+    ``fused_val(params, key) → loss`` (HBM-resident fast path): when given,
+    each epoch is the caller's single scanned program
+    (:func:`make_mae_train_epoch` / :func:`make_mae_eval_epoch` bound to
+    resident arrays) instead of the per-batch loader loop; the loader
+    factories are then unused for that side."""
     optimizer = mae_optimizer(encoder_lr, decoder_lr)
     state = TrainState.create(params, optimizer, rng)
     train_step = make_mae_train_step(model, optimizer, mask_ratio, use_lesion_mask)
@@ -158,17 +231,25 @@ def train_mae(
     best_params = state.params
     history = []
     for epoch in range(num_epochs):
-        running, seen = 0.0, 0
-        for batch in train_batches(epoch):
+        if fused_train is not None:
             key, state = state.next_rng()
-            n = batch["image"].shape[0]
-            state, loss = train_step(state, batch["image"],
-                                     batch.get("mask"), key)
-            running += float(loss) * n
-            seen += n
-        train_loss = running / max(seen, 1)
+            state, train_loss = fused_train(state, epoch, key)
+            train_loss = float(train_loss)
+        else:
+            running, seen = 0.0, 0
+            for batch in train_batches(epoch):
+                key, state = state.next_rng()
+                n = batch["image"].shape[0]
+                state, loss = train_step(state, batch["image"],
+                                         batch.get("mask"), key)
+                running += float(loss) * n
+                seen += n
+            train_loss = running / max(seen, 1)
 
-        if val_n_true is None:
+        if fused_val is not None:
+            key, state = state.next_rng()
+            val_loss = float(fused_val(state.params, key))
+        elif val_n_true is None:
             running, seen = 0.0, 0
             for batch in val_batches():
                 key, state = state.next_rng()

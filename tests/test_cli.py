@@ -200,6 +200,28 @@ def test_train_ae_cli_tiny(workspace):
     assert any(n.startswith("image_comparison") for n in names)
 
 
+def test_train_ae_cli_tiny_device_cache(workspace):
+    """MAE workload with device_cache: both splits staged in HBM, each
+    train/val epoch one scanned program (fused_train/fused_val paths)."""
+    import yaml
+    from multimodal_isic_tpu.cli import prepare_df, train_ae
+    root, cfg, dirs = workspace
+    if not os.path.exists(dirs["df"]):
+        prepare_df.main(["--config_path", cfg])
+    config = yaml.safe_load(open(cfg))
+    config["training_plan"]["parameters"].update(
+        {"epochs": 2, "batch_size": 8, "model_size": "tiny",
+         "masking_ratio": 0.75, "eval_masking_ratio": 0.5,
+         "device_cache": True})
+    cfg_tiny = str(root / "config_tiny_devcache.yml")
+    open(cfg_tiny, "w").write(yaml.safe_dump(config))
+    train_ae.main(["--config_path", cfg_tiny])
+    runs = sorted((root / "runs").iterdir())
+    log = (runs[-1] / "metrics.jsonl")
+    assert log.exists() or any(
+        len(d) == 32 for d in os.listdir(root / "models"))
+
+
 def test_save_latent_cli_tiny(workspace, monkeypatch, tmp_path):
     """save_latent end-to-end: tiny encoder checkpoint -> 6 pickled frames,
     partial (strict=False) restore from the train_ae full-model checkpoint."""

@@ -412,3 +412,65 @@ def test_mae_persample_eval_matches_scalar_loss():
     vec = make_mae_eval_persample_step(model, 0.75)(params, imgs, key)
     assert vec.shape == (4,)
     assert float(vec.mean()) == pytest.approx(float(scalar), rel=1e-5)
+
+
+def test_mae_fused_epoch_matches_per_step_loop(rng):
+    """make_mae_train_epoch (one scanned program per epoch, r5 HBM-resident
+    hot path) reproduces the manual per-step loop: same gathers, same
+    augment/step key streams, same final params and losses."""
+    from multimodal_isic_tpu.train.mae import (make_mae_eval_epoch,
+                                               make_mae_train_epoch)
+
+    from multimodal_isic_tpu.core.optim import sgd
+
+    model = ConvMAE(**TINY, norm_pix_loss=True)
+    params = init_mae(model, jax.random.PRNGKey(0))
+    # SGD for the equality check: the scanned epoch's gathers/keys/carry are
+    # optimizer-independent, and AdamW normalizes noise-dominated gradients
+    # to ±lr, turning compile-fusion float noise into ~lr-sized param diffs
+    opt = sgd(1e-2)
+    n, bs = 8, 4
+    images = jnp.asarray(rng.randint(0, 255, (n, 64, 64, 3)), jnp.uint8)
+    masks = jnp.asarray(rng.randint(0, 2, (n, 64, 64)), jnp.uint8)
+
+    def transform(img, msk, key):
+        return img.astype(jnp.float32) / 255.0, msk.astype(jnp.float32)
+
+    order = np.arange(n).reshape(-1, bs).astype(np.int32)
+    key = jax.random.PRNGKey(9)
+    epoch_fn = make_mae_train_epoch(model, opt, mask_ratio=0.75,
+                                    transform=transform)
+    st_f, loss_f = epoch_fn(TrainState.create(params, opt, jax.random.PRNGKey(1)),
+                            images, masks, jnp.asarray(order), key)
+
+    step = make_mae_train_step(model, opt, mask_ratio=0.75)
+    k_aug, k_step = jax.random.split(key)
+    aug_keys = jax.random.split(k_aug, order.shape[0])
+    step_keys = jax.random.split(k_step, order.shape[0])
+    st_m = TrainState.create(params, opt, jax.random.PRNGKey(1))
+    losses = []
+    for i, idx in enumerate(order):
+        img = jnp.take(images, jnp.asarray(idx), axis=0)
+        msk = jnp.take(masks, jnp.asarray(idx), axis=0)
+        img, msk = transform(img, msk, aug_keys[i])
+        st_m, loss = step(st_m, img, msk, step_keys[i])
+        losses.append(float(loss))
+
+    assert float(loss_f) == pytest.approx(np.mean(losses), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st_f.params),
+                    jax.tree_util.tree_leaves(st_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    # eval twin: scanned val epoch == mean of per-batch eval losses
+    from multimodal_isic_tpu.train.mae import make_mae_eval_step
+    ev = make_mae_eval_epoch(model, 0.5,
+                             transform=lambda i, m: (i.astype(jnp.float32), m))
+    ev_loss = ev(st_f.params, images, masks, jnp.asarray(order),
+                 jax.random.PRNGKey(3))
+    es = make_mae_eval_step(model, 0.5)
+    keys = jax.random.split(jax.random.PRNGKey(3), order.shape[0])
+    manual = np.mean([float(es(st_f.params,
+                               jnp.take(images, jnp.asarray(i), 0).astype(jnp.float32),
+                               k)) for i, k in zip(order, keys)])
+    assert float(ev_loss) == pytest.approx(manual, rel=1e-5)
