@@ -142,11 +142,17 @@ def _fuzzy_weights(dist: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, jnp.exp(-excess / sigma), 0.0)
 
 
-@partial(jax.jit, static_argnames=("n_epochs", "n_neg"))
-def _optimize_layout(y0, nbr, w, key, n_epochs: int = 200, n_neg: int = 5,
-                     lr: float = 0.1, repulsion: float = 1.0):
-    """Attraction along kNN edges, repulsion against per-epoch negative
-    samples, student-t kernel q = 1/(1+d²); full-batch Adam in one scan."""
+@partial(jax.jit, static_argnames=("n_neg",))
+def _layout_chunk(carry, keys, nbr, w, n_neg: int = 5, lr: float = 0.1,
+                  repulsion: float = 1.0):
+    """A chunk of layout epochs: attraction along kNN edges, repulsion
+    against per-epoch negative samples, student-t kernel q = 1/(1+d²),
+    full-batch Adam; the (y, m, v, t) carry crosses chunk boundaries, so a
+    sequence of chunks is bit-identical to one scan over all epochs
+    (tested).  Chunking exists because ONE scan over 200 epochs at the
+    reference's 2M-row table is a ~35-minute single device program — r5
+    measured the tunneled TPU worker crashing mid-program on exactly that;
+    bounded dispatches also give the host loop progress visibility."""
     n, k = nbr.shape
     rows = jnp.repeat(jnp.arange(n), k)
     cols = nbr.reshape(-1)
@@ -171,9 +177,25 @@ def _optimize_layout(y0, nbr, w, key, n_epochs: int = 200, n_neg: int = 5,
         y = y - lr * m_hat / (jnp.sqrt(v_hat) + 1e-8)
         return (y, m, v, t), None
 
-    init = (y0, jnp.zeros_like(y0), jnp.zeros_like(y0), jnp.float32(0.0))
-    (y, _, _, _), _ = jax.lax.scan(step, init, jax.random.split(key, n_epochs))
-    return y
+    carry, _ = jax.lax.scan(step, carry, keys)
+    return carry
+
+
+def _optimize_layout(y0, nbr, w, key, n_epochs: int = 200, n_neg: int = 5,
+                     lr: float = 0.1, repulsion: float = 1.0,
+                     epoch_chunk: int = 50, verbose: bool = False):
+    """Epoch loop over :func:`_layout_chunk` dispatches; same per-epoch key
+    stream as a single scan (split once, sliced per chunk)."""
+    keys = jax.random.split(key, n_epochs)
+    carry = (y0, jnp.zeros_like(y0), jnp.zeros_like(y0), jnp.float32(0.0))
+    for s in range(0, n_epochs, epoch_chunk):
+        carry = _layout_chunk(carry, keys[s:s + epoch_chunk], nbr, w,
+                              n_neg=n_neg, lr=lr, repulsion=repulsion)
+        if verbose:
+            jax.block_until_ready(carry[0])
+            print(f"layout epochs {min(s + epoch_chunk, n_epochs)}"
+                  f"/{n_epochs}", flush=True)
+    return carry[0]
 
 
 def neighbor_embedding(x: np.ndarray, n_components: int = 2,
@@ -182,7 +204,9 @@ def neighbor_embedding(x: np.ndarray, n_components: int = 2,
                        lr: float = 0.05,
                        knn_method: str = "exact",
                        knn_kwargs: Optional[dict] = None,
-                       precomputed_knn: Optional[tuple] = None) -> np.ndarray:
+                       precomputed_knn: Optional[tuple] = None,
+                       epoch_chunk: int = 50,
+                       verbose: bool = False) -> np.ndarray:
     """kNN-graph layout → [N, n_components].  PCA init (scaled to ~1e-1 std,
     the UMAP convention) keeps global structure; the optimization recovers
     local neighborhoods the linear projection loses.  ``knn_method='approx'``
@@ -210,7 +234,8 @@ def neighbor_embedding(x: np.ndarray, n_components: int = 2,
         y0 = np.pad(y0, ((0, 0), (0, n_components - y0.shape[1])))
     y0 = y0 / max(float(y0.std()), 1e-9) * 0.1
     y = _optimize_layout(jnp.asarray(y0), nbr, w, jax.random.PRNGKey(seed),
-                         n_epochs=n_epochs, lr=lr)
+                         n_epochs=n_epochs, lr=lr, epoch_chunk=epoch_chunk,
+                         verbose=verbose)
     return np.asarray(y)
 
 

@@ -387,3 +387,18 @@ def test_encoder_bf16_latents_match_fp32_moments():
     assert np.abs(m16 - m32).max() / scale < 0.05  # bf16 tolerance
     np.testing.assert_allclose(b16.pooled_mean, b32.pooled_mean,
                                atol=0.05 * np.abs(b32.pooled_mean).max())
+
+
+def test_layout_epoch_chunking_bit_identical(rng):
+    """Chunked layout dispatches (the r5 fix for the 2M single-program TPU
+    worker crash) reproduce the single-chunk scan bit-for-bit: the Adam
+    carry crosses chunk boundaries and the per-epoch key stream is the
+    same split."""
+    from multimodal_isic_tpu.analysis.embed import neighbor_embedding
+
+    x = rng.randn(120, 8).astype(np.float32)
+    one = neighbor_embedding(x, n_components=2, n_neighbors=6, n_epochs=23,
+                             seed=3, epoch_chunk=1000)
+    chunked = neighbor_embedding(x, n_components=2, n_neighbors=6,
+                                 n_epochs=23, seed=3, epoch_chunk=7)
+    np.testing.assert_array_equal(one, chunked)
