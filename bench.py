@@ -245,7 +245,8 @@ def main():
         log("disk-train (recorded): "
             f"{d.get('e2e_nocache_img_per_s')} img/s streaming, "
             f"{d.get('e2e_cache_img_per_s')} img/s decoded-cache, "
-            f"{d.get('e2e_device_resident_img_per_s')} img/s HBM-resident "
+            f"{d.get('e2e_device_resident_img_per_s')} img/s HBM-resident, "
+            f"{d.get('e2e_fused_img_per_s')} img/s fused-epoch "
             f"(host decode alone {d.get('host_decode_img_per_s')}, device "
             f"step alone {d.get('device_step_img_per_s')} img/s; "
             f"n={d.get('n_images')} bs={d.get('batch')})")
