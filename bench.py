@@ -224,12 +224,15 @@ def measure_reference_cpu(batch_size=4, iters=3):
         return logits
 
     run_once()  # warm up
-    t0 = time.time()
+    times = []
     for _ in range(iters):
+        t0 = time.time()
         run_once()
-    dt = (time.time() - t0) / iters
+        times.append(time.time() - t0)
+    dt = min(times)  # min-of-N: shared-host contention can't deflate the baseline
     ips = batch_size / dt
-    log(f"reference cpu: {ips:.2f} img/s ({dt * 1000:.0f} ms / {batch_size} imgs)")
+    log(f"reference cpu: {ips:.2f} img/s ({dt * 1000:.0f} ms / {batch_size} imgs; "
+        f"all [{', '.join(f'{batch_size / t:.2f}' for t in times)}])")
     return ips
 
 

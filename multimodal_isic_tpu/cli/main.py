@@ -77,7 +77,9 @@ def main(argv=None) -> None:
     # image-less modality subsets never read the image branch: skip decode +
     # the 380×380 augmentation pipeline entirely (metadata-only records)
     with_image = "image" in plan["modality"]
-    train_tf = augment.POLICIES["fusion_train"] if with_image else None
+    train_policy = ("fusion_train_fast" if params_cfg["augment_fast"]
+                    else "fusion_train")
+    train_tf = augment.POLICIES[train_policy] if with_image else None
     eval_tf = augment.POLICIES["fusion_eval"] if with_image else None
 
     def records(df, rad, idx=None):

@@ -108,6 +108,11 @@ class TrainParameters(_DictAccess):
     # work — the r5 mitigation for slow host→device links (this tunnel moves
     # ~25-40 MB/s; HAM10000's train split is ~6 GB of a 16 GB chip).
     # Single-process runs only (multi-process shards batches host-side).
+    augment_fast: bool = False  # fusion train augmentation via the
+    # gather-free Pallas warp + batch MXU resize (augment.POLICIES
+    # ['fusion_train_fast']): same augmentations/RNG streams, resampler
+    # float-rounding differences only (tests/test_pallas_warp.py); masks
+    # pass through untransformed (the fusion step never consumes them)
 
 
 @dataclass(frozen=True)

@@ -219,6 +219,41 @@ def _warp_taps(x: jnp.ndarray, src_y: jnp.ndarray, src_x: jnp.ndarray,
     return out.reshape(src_y.shape + x.shape[2:])
 
 
+def _ssr_draw(key: jax.Array, shift_limit: float, scale_limit: float,
+              rotate_limit: float, p: float):
+    """ShiftScaleRotate's parameter draws, in its exact RNG-stream order
+    (shared by the per-image and batched-Pallas paths so both consume
+    identical randomness from the same key)."""
+    k_apply, k_sh, k_sv, k_sc, k_rot = jax.random.split(key, 5)
+    apply_it = jax.random.uniform(k_apply) < p
+    dx = jax.random.uniform(k_sh, minval=-shift_limit, maxval=shift_limit)
+    dy = jax.random.uniform(k_sv, minval=-shift_limit, maxval=shift_limit)
+    scale = 1.0 + jax.random.uniform(k_sc, minval=-scale_limit, maxval=scale_limit)
+    angle = jax.random.uniform(k_rot, minval=-rotate_limit, maxval=rotate_limit)
+    return apply_it, dx, dy, scale, angle
+
+
+def _ssr_inverse(h: int, w: int, dx, dy, scale, angle) -> jnp.ndarray:
+    """Inverse affine (dst pixel → src coordinate) for cv2-convention
+    shift/scale/rotate about the image center: the 6-vector
+    (i11, i12, i13, i21, i22, i23) with sx = i11·x + i12·y + i13,
+    sy = i21·x + i22·y + i23."""
+    theta = jnp.deg2rad(angle)
+    alpha = scale * jnp.cos(theta)
+    beta = scale * jnp.sin(theta)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    # forward matrix (src -> dst), cv2.getRotationMatrix2D + shift
+    a13 = (1 - alpha) * cx - beta * cy + dx * w
+    a23 = beta * cx + (1 - alpha) * cy + dy * h
+    det = alpha * alpha + beta * beta
+    # inverse mapping: dst pixel -> src coordinate
+    i11, i12 = alpha / det, -beta / det
+    i21, i22 = beta / det, alpha / det
+    i13 = -(i11 * a13 + i12 * a23)
+    i23 = -(i21 * a13 + i22 * a23)
+    return jnp.stack([i11, i12, i13, i21, i22, i23])
+
+
 def shift_scale_rotate(img: jnp.ndarray, mask: Optional[jnp.ndarray],
                        key: jax.Array, shift_limit: float = 0.05,
                        scale_limit: float = 0.1, rotate_limit: float = 15.0,
@@ -227,26 +262,9 @@ def shift_scale_rotate(img: jnp.ndarray, mask: Optional[jnp.ndarray],
     uniform scale, fractional shift; REFLECT_101 border, bilinear for the
     image / nearest for the mask (albumentations ShiftScaleRotate defaults)."""
     h, w = img.shape[:2]
-    k_apply, k_sh, k_sv, k_sc, k_rot = jax.random.split(key, 5)
-    apply_it = jax.random.uniform(k_apply) < p
-    dx = jax.random.uniform(k_sh, minval=-shift_limit, maxval=shift_limit)
-    dy = jax.random.uniform(k_sv, minval=-shift_limit, maxval=shift_limit)
-    scale = 1.0 + jax.random.uniform(k_sc, minval=-scale_limit, maxval=scale_limit)
-    angle = jax.random.uniform(k_rot, minval=-rotate_limit, maxval=rotate_limit)
-
-    theta = jnp.deg2rad(angle)
-    alpha = scale * jnp.cos(theta)
-    beta = scale * jnp.sin(theta)
-    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
-    # forward matrix (src -> dst), cv2.getRotationMatrix2D + shift
-    a11, a12, a13 = alpha, beta, (1 - alpha) * cx - beta * cy + dx * w
-    a21, a22, a23 = -beta, alpha, beta * cx + (1 - alpha) * cy + dy * h
-    det = a11 * a22 - a12 * a21
-    # inverse mapping: dst pixel -> src coordinate
-    i11, i12 = a22 / det, -a12 / det
-    i21, i22 = -a21 / det, a11 / det
-    i13 = -(i11 * a13 + i12 * a23)
-    i23 = -(i21 * a13 + i22 * a23)
+    apply_it, dx, dy, scale, angle = _ssr_draw(key, shift_limit, scale_limit,
+                                               rotate_limit, p)
+    i11, i12, i13, i21, i22, i23 = _ssr_inverse(h, w, dx, dy, scale, angle)
 
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
@@ -460,9 +478,77 @@ fusion_eval_batch = _batched(fusion_eval_transform, stochastic=False)
 mae_train_batch = _batched(mae_train_transform, stochastic=True)
 mae_eval_batch = _batched(mae_eval_transform, stochastic=False)
 
+
+def make_fusion_train_fast(out_hw: Tuple[int, int] = (380, 380),
+                           warp_dtype=jnp.bfloat16,
+                           interpret: Optional[bool] = None):
+    """TPU-fast fusion train policy: same augmentations and per-image RNG
+    streams as ``fusion_train_transform``, but with the two gather-bound
+    stages replaced by MXU formulations (r5 fused-epoch bottleneck,
+    BENCH_DISK.json):
+
+      - the batch-constant Resize(380) runs as one ``resize_bilinear_mxu``
+        matmul pair over the whole batch instead of a vmapped per-image
+        gather resize (the same substitution the serving benchmark made);
+      - the ShiftScaleRotate warp runs through the gather-free Pallas
+        kernel ``ops.pallas_warp.affine_warp_batch`` (tent-weight matmuls
+        over VMEM source bands; value-equal to ``_warp_taps``, tested).
+
+    Values match the reference-faithful ``fusion_train_batch`` for the same
+    key up to resize/warp float-rounding (both resamplers are individually
+    cv2-convention-exact; ``warp_dtype=bf16`` adds ≲1 intensity unit of
+    weight rounding — augmentation-irrelevant, f32 available for tests).
+
+    FUSION-ONLY: the fusion train step never consumes masks
+    (``train.fusion.BATCH_KEYS``), so masks pass through untransformed.
+    Use the faithful ``mae_train_batch`` wherever masks matter.
+    """
+    import functools as _ft
+
+    from ..ops.pallas_warp import affine_warp_batch
+
+    oh, ow = out_hw
+    # mirror-pad budget: SSR's worst-case overhang is ~0.26·dim (|A−I|·r +
+    # shift); 128 covers the 380² production shape, smaller test shapes
+    # scale down (pad must stay < the image dims)
+    pad = 128 if min(oh, ow) > 160 else max(16, (min(oh, ow) // 3) & ~7)
+    wp = -(-(ow + 2 * pad) // 128) * 128
+    hp = -(-(oh + 2 * pad) // 8) * 8
+    band_x = min(384, wp)
+    band_y = min(56, hp)
+    draw = _ft.partial(_ssr_draw, shift_limit=0.05, scale_limit=0.1,
+                       rotate_limit=15.0, p=0.5)
+
+    @jax.jit
+    def batched(images, masks, key):
+        images = images.astype(jnp.float32)
+        bsz = images.shape[0]
+        keys = jax.random.split(key, bsz)
+        sub = jax.vmap(lambda k: jax.random.split(k, 4))(keys)   # [B, 4, 2]
+        k1, k2, k3, k4 = sub[:, 0], sub[:, 1], sub[:, 2], sub[:, 3]
+
+        imgs = resize_bilinear_mxu(images, out_hw)
+        imgs = jax.vmap(lambda im, k: random_flips_rot90(im, None, k)[0])(
+            imgs, k1)
+        apply_it, dx, dy, scale, angle = jax.vmap(draw)(k2)
+        inv = jax.vmap(lambda a, b, c, d: _ssr_inverse(oh, ow, a, b, c, d))(
+            dx, dy, scale, angle)
+        interp = (jax.default_backend() != "tpu") if interpret is None else interpret
+        warped = affine_warp_batch(imgs, inv, out_hw, pad=pad, band_y=band_y,
+                                   band_x=band_x, compute_dtype=warp_dtype,
+                                   interpret=interp)
+        imgs = jnp.where(apply_it[:, None, None, None], warped, imgs)
+        imgs = jax.vmap(color_jitter)(imgs, k3)
+        imgs = jax.vmap(gauss_noise)(imgs, k4)
+        return normalize_imagenet(imgs), masks
+
+    return batched
+
+
 POLICIES = {
     "fusion_train": fusion_train_batch,
     "fusion_eval": fusion_eval_batch,
+    "fusion_train_fast": make_fusion_train_fast(),
     "mae_train": mae_train_batch,
     "mae_eval": mae_eval_batch,
 }

@@ -242,6 +242,35 @@ def main(argv=None):
         fused_epochs.append(dt)
         log(f"F. epoch {epoch}: {dt:.1f}s = {n_epoch / dt:.1f} img/s")
 
+    # ---- stage G: fused epoch + gather-free Pallas augment ---------------
+    # same scanned program with augment.POLICIES['fusion_train_fast'] (batch
+    # MXU resize + ops.pallas_warp SSR; r5 warp_ab.py measured the packed
+    # take at 447 ms/batch — the gap between stages E/F and the bare step)
+    epoch_fast = make_fusion_train_epoch(
+        model, opt, transform=augment.POLICIES["fusion_train_fast"])
+    fastg_epochs = []
+    stg, statsg = state, batch_stats
+    keyg = jax.random.PRNGKey(11)
+    t0 = time.time()
+    order = dset.epoch_order(args.batch, order=order_rng.permutation(len(recs)))
+    stg, statsg, loss_g, _ = epoch_fast(stg, statsg, dset.images, dset.masks,
+                                        dset.meta, jnp.asarray(order), keyg)
+    _ = float(loss_g)
+    log(f"G. fast-augment fused epoch compiled+ran in {time.time() - t0:.0f}s")
+    for epoch in range(args.epochs):
+        order = dset.epoch_order(args.batch,
+                                 order=order_rng.permutation(len(recs)))
+        keyg, sub = jax.random.split(keyg)
+        t0 = time.time()
+        stg, statsg, loss_g, _ = epoch_fast(stg, statsg, dset.images,
+                                            dset.masks, dset.meta,
+                                            jnp.asarray(order), sub)
+        _ = float(loss_g)
+        dt = time.time() - t0
+        fastg_epochs.append(dt)
+        log(f"G. epoch {epoch}: {dt:.1f}s = {n_epoch / dt:.1f} img/s "
+            f"(loss {float(loss_g):.4f})")
+
     steady_nc = min(no_cache[1:]) if len(no_cache) > 1 else no_cache[0]
     steady_c = min(cached[1:]) if len(cached) > 1 else cached[0]
     steady_d = (min(device_epochs[1:]) if len(device_epochs) > 1
@@ -250,6 +279,8 @@ def main(argv=None):
     result.update({
         "e2e_fused_epoch_s": [round(x, 1) for x in fused_epochs],
         "e2e_fused_img_per_s": round(n_epoch / steady_f, 1),
+        "e2e_fast_augment_epoch_s": [round(x, 1) for x in fastg_epochs],
+        "e2e_fast_augment_img_per_s": round(n_epoch / min(fastg_epochs), 1),
     })
     result.update({
         "e2e_nocache_epoch_s": [round(x, 1) for x in no_cache],

@@ -11,6 +11,9 @@ vmapped over the batch (``data/augment._warp_taps``).  Candidates:
      the gather, letting XLA emit ONE gather op)
   C. nearest-neighbor taps (order=0) — NOT value-equal (bound probe only:
      how much of the cost is the 4-tap pack vs the gather itself)
+  D. gather-free Pallas kernel (``ops.pallas_warp.affine_warp_batch``):
+     tent-weight matmuls over VMEM source bands — bf16 (serving dtype)
+     and f32 variants, max-err vs A reported
 
 Each timed over chains of 10 iterations closed by device readbacks.
     python scripts/warp_ab.py
@@ -56,7 +59,8 @@ def coords(key):
     xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     src_x = i11[:, None, None] * xs + i12[:, None, None] * ys + i13[:, None, None]
     src_y = i21[:, None, None] * xs + i22[:, None, None] * ys + i23[:, None, None]
-    return src_y, src_x
+    inv = jnp.stack([i11, i12, i13, i21, i22, i23], axis=1)
+    return src_y, src_x, inv
 
 
 @jax.jit
@@ -114,8 +118,8 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.rand(B, H, W, C), jnp.float32)
-    sy, sx = coords(jax.random.PRNGKey(0))
-    sy, sx = jax.device_put(sy), jax.device_put(sx)
+    sy, sx, inv = coords(jax.random.PRNGKey(0))
+    sy, sx, inv = jax.device_put(sy), jax.device_put(sx), jax.device_put(inv)
 
     out_a, t_a = bench("A vmapped packed take (shipped)", warp_a, imgs, sy, sx)
     out_b, t_b = bench("B whole-batch flat take", warp_b, imgs, sy, sx)
@@ -123,6 +127,27 @@ def main():
     print(f"A-vs-B max abs err: {err:.2e}", flush=True)
     bench("C nearest probe (not value-equal)", warp_c, imgs, sy, sx)
     print(f"speedup B/A: {t_a / t_b:.2f}x", flush=True)
+
+    from multimodal_isic_tpu.ops.pallas_warp import affine_warp_batch
+    interp = jax.default_backend() != "tpu"
+    scaled = imgs * 255.0  # kernel errors quoted on the image 0..255 scale
+
+    def warp_d16(im, _sy, _sx, inv=inv):
+        return affine_warp_batch(im, inv, (H, W), interpret=interp)
+
+    def warp_d32(im, _sy, _sx, inv=inv):
+        return affine_warp_batch(im, inv, (H, W),
+                                 compute_dtype=jnp.float32, interpret=interp)
+
+    out_a255 = warp_a(scaled, sy, sx)
+    out_d16, t_d16 = bench("D pallas gather-free bf16", warp_d16, scaled, sy, sx)
+    out_d32, t_d32 = bench("D pallas gather-free f32", warp_d32, scaled, sy, sx)
+    print(f"D16-vs-A max abs err (0..255 scale): "
+          f"{float(jnp.abs(out_d16 - out_a255).max()):.3f}", flush=True)
+    print(f"D32-vs-A max abs err (0..255 scale): "
+          f"{float(jnp.abs(out_d32 - out_a255).max()):.2e}", flush=True)
+    print(f"speedup D16/A: {t_a / t_d16:.2f}x, D32/A: {t_a / t_d32:.2f}x",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -94,6 +94,34 @@ def test_fusion_main_cli_device_cache_fused_epoch(workspace, monkeypatch):
     assert os.listdir(root / "models"), "best model persisted"
 
 
+def test_fusion_main_cli_fast_augment(workspace, monkeypatch):
+    """augment_fast=true routes the train transform through the gather-free
+    Pallas warp policy (interpret mode on the CPU mesh) end-to-end."""
+    from functools import partial
+
+    from multimodal_isic_tpu.cli import main as fusion_main
+    from multimodal_isic_tpu.data import augment
+
+    root, cfg, dirs = workspace
+    config = yaml.safe_load(open(cfg))
+    config["training_plan"]["modality"] = ["image", "clinical"]
+    config["training_plan"]["parameters"].update(
+        {"device_cache": True, "augment_fast": True,
+         "backbone": "efficientnet-b0", "epochs": 2})
+    cfg3 = root / "config_fastaug.yml"
+    cfg3.write_text(yaml.safe_dump(config))
+
+    small_fast = augment.make_fusion_train_fast(out_hw=(64, 64))
+    small_eval = augment._batched(
+        partial(augment.fusion_eval_transform, out_hw=(64, 64)),
+        stochastic=False)
+    monkeypatch.setitem(augment.POLICIES, "fusion_train_fast", small_fast)
+    monkeypatch.setitem(augment.POLICIES, "fusion_eval", small_eval)
+
+    fusion_main.main(["--config_path", str(cfg3)])
+    assert os.listdir(root / "models"), "best model persisted"
+
+
 def test_mil_cli_chain(workspace, rng):
     """tune_mil + use_latent over a synthetic patch-level frame."""
     from multimodal_isic_tpu.cli import tune_mil, use_latent
