@@ -142,9 +142,9 @@ def _fuzzy_weights(dist: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, jnp.exp(-excess / sigma), 0.0)
 
 
-@partial(jax.jit, static_argnames=("n_neg",))
+@partial(jax.jit, static_argnames=("n_neg", "n_seg"))
 def _layout_chunk(carry, keys, nbr, w, n_neg: int = 5, lr: float = 0.1,
-                  repulsion: float = 1.0):
+                  repulsion: float = 1.0, n_seg: int = 1):
     """A chunk of layout epochs: attraction along kNN edges, repulsion
     against per-epoch negative samples, student-t kernel q = 1/(1+d²),
     full-batch Adam; the (y, m, v, t) carry crosses chunk boundaries, so a
@@ -152,18 +152,64 @@ def _layout_chunk(carry, keys, nbr, w, n_neg: int = 5, lr: float = 0.1,
     (tested).  Chunking exists because ONE scan over 200 epochs at the
     reference's 2M-row table is a ~35-minute single device program — r5
     measured the tunneled TPU worker crashing mid-program on exactly that;
-    bounded dispatches also give the host loop progress visibility."""
+    bounded dispatches also give the host loop progress visibility.
+
+    ``n_seg > 1`` evaluates the loss in ``n_seg`` rematerialized edge/row
+    segments (``jax.checkpoint`` over a ``lax.scan``): at the reference's
+    2M×15 graph the fused edge-gather tensors are ~2.4 GB EACH in forward
+    and backward, and the unsegmented epoch peaks within reach of the 16 GB
+    chip — segmenting bounds peak HBM at ~1/n_seg of that for 2×
+    recompute of the (cheap) gathers.  Values differ from ``n_seg=1`` only
+    by float summation order (tested ~1e-6)."""
     n, k = nbr.shape
     rows = jnp.repeat(jnp.arange(n), k)
     cols = nbr.reshape(-1)
     wf = w.reshape(-1)
 
+    if n_seg > 1:
+        e_pad = -(-(n * k) // n_seg) * n_seg
+        r_pad = -(-n // n_seg) * n_seg
+
+        def pad_to(a, m, fill):
+            return jnp.concatenate(
+                [a, jnp.full((m - a.shape[0],) + a.shape[1:], fill, a.dtype)])
+
+        # padded edges carry w=0 (zero loss and gradient); padded repulsion
+        # rows are masked out below
+        seg_rows = pad_to(rows, e_pad, 0).reshape(n_seg, -1)
+        seg_cols = pad_to(cols, e_pad, 0).reshape(n_seg, -1)
+        seg_w = pad_to(wf, e_pad, 0.0).reshape(n_seg, -1)
+        row_ids = pad_to(jnp.arange(n), r_pad, n).reshape(n_seg, -1)
+
     def loss_fn(y, neg_idx):
-        d2e = ((y[rows] - y[cols]) ** 2).sum(-1)
-        attract = (wf * jnp.log1p(d2e)).sum()
-        d2n = ((y[:, None, :] - y[neg_idx]) ** 2).sum(-1)  # [N, n_neg]
-        repel = -jnp.log(d2n / (1.0 + d2n) + 1e-6).sum()
-        return (attract + repulsion * repel) / n
+        if n_seg == 1:
+            d2e = ((y[rows] - y[cols]) ** 2).sum(-1)
+            attract = (wf * jnp.log1p(d2e)).sum()
+            d2n = ((y[:, None, :] - y[neg_idx]) ** 2).sum(-1)  # [N, n_neg]
+            repel = -jnp.log(d2n / (1.0 + d2n) + 1e-6).sum()
+            return (attract + repulsion * repel) / n
+
+        neg_pad = jnp.concatenate(
+            [neg_idx, jnp.zeros((r_pad - n, n_neg), neg_idx.dtype)]
+        ).reshape(n_seg, -1, n_neg)
+
+        @jax.checkpoint
+        def seg_loss(y, seg):
+            r, c, ww, rid, neg = seg
+            d2e = ((y[r] - y[c]) ** 2).sum(-1)
+            attract = (ww * jnp.log1p(d2e)).sum()
+            d2n = ((y[jnp.minimum(rid, n - 1), None, :] - y[neg]) ** 2).sum(-1)
+            rep = jnp.where(rid[:, None] < n,
+                            -jnp.log(d2n / (1.0 + d2n) + 1e-6), 0.0).sum()
+            return attract + repulsion * rep
+
+        def body(acc, seg):
+            return acc + seg_loss(y, seg), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.float32(0.0),
+            (seg_rows, seg_cols, seg_w, row_ids, neg_pad))
+        return total / n
 
     def step(carry, key):
         y, m, v, t = carry
@@ -183,18 +229,49 @@ def _layout_chunk(carry, keys, nbr, w, n_neg: int = 5, lr: float = 0.1,
 
 def _optimize_layout(y0, nbr, w, key, n_epochs: int = 200, n_neg: int = 5,
                      lr: float = 0.1, repulsion: float = 1.0,
-                     epoch_chunk: int = 50, verbose: bool = False):
+                     epoch_chunk: int = 50, n_seg: int = 1,
+                     checkpoint_dir: Optional[str] = None,
+                     checkpoint_every: int = 50, verbose: bool = False):
     """Epoch loop over :func:`_layout_chunk` dispatches; same per-epoch key
-    stream as a single scan (split once, sliced per chunk)."""
+    stream as a single scan (split once, sliced per chunk — resuming from a
+    checkpoint therefore replays the identical epoch keys).
+
+    ``checkpoint_dir`` persists the full Adam carry every
+    ``checkpoint_every`` epochs (atomic npz) and resumes from it: the r5
+    2M-row runs saw the tunneled TPU worker die mid-stage, and without the
+    carry a restart repays every completed epoch."""
+    import os
+
     keys = jax.random.split(key, n_epochs)
     carry = (y0, jnp.zeros_like(y0), jnp.zeros_like(y0), jnp.float32(0.0))
-    for s in range(0, n_epochs, epoch_chunk):
-        carry = _layout_chunk(carry, keys[s:s + epoch_chunk], nbr, w,
-                              n_neg=n_neg, lr=lr, repulsion=repulsion)
+    start = 0
+    ck = (os.path.join(checkpoint_dir, "layout_carry.npz")
+          if checkpoint_dir else None)
+    if ck and os.path.exists(ck):
+        blob = np.load(ck)
+        if int(blob["n_epochs"]) == n_epochs and blob["y"].shape == y0.shape:
+            carry = (jnp.asarray(blob["y"]), jnp.asarray(blob["m"]),
+                     jnp.asarray(blob["v"]), jnp.float32(blob["t"]))
+            start = int(blob["epoch"])
+            if verbose:
+                print(f"layout: resumed at epoch {start}", flush=True)
+    s, last_saved = start, start
+    while s < n_epochs:
+        e = min(s + epoch_chunk, n_epochs)
+        carry = _layout_chunk(carry, keys[s:e], nbr, w, n_neg=n_neg, lr=lr,
+                              repulsion=repulsion, n_seg=n_seg)
+        s = e
         if verbose:
             jax.block_until_ready(carry[0])
-            print(f"layout epochs {min(s + epoch_chunk, n_epochs)}"
-                  f"/{n_epochs}", flush=True)
+            print(f"layout epochs {s}/{n_epochs}", flush=True)
+        if ck and s < n_epochs and s - last_saved >= checkpoint_every:
+            blob = {k2: np.asarray(c) for k2, c in
+                    zip(("y", "m", "v", "t"), carry)}
+            np.savez(ck + ".tmp.npz", epoch=s, n_epochs=n_epochs, **blob)
+            os.replace(ck + ".tmp.npz", ck)
+            last_saved = s
+            if verbose:
+                print(f"layout: checkpointed epoch {s}", flush=True)
     return carry[0]
 
 
@@ -206,6 +283,9 @@ def neighbor_embedding(x: np.ndarray, n_components: int = 2,
                        knn_kwargs: Optional[dict] = None,
                        precomputed_knn: Optional[tuple] = None,
                        epoch_chunk: int = 50,
+                       grad_segments: Optional[int] = None,
+                       layout_checkpoint_dir: Optional[str] = None,
+                       checkpoint_every: int = 50,
                        verbose: bool = False) -> np.ndarray:
     """kNN-graph layout → [N, n_components].  PCA init (scaled to ~1e-1 std,
     the UMAP convention) keeps global structure; the optimization recovers
@@ -233,9 +313,16 @@ def neighbor_embedding(x: np.ndarray, n_components: int = 2,
     if y0.shape[1] < n_components:
         y0 = np.pad(y0, ((0, 0), (0, n_components - y0.shape[1])))
     y0 = y0 / max(float(y0.std()), 1e-9) * 0.1
+    if grad_segments is None:
+        # bound each rematerialized segment's edge gathers to ~8M edges
+        # (~0.6 GB of 20-d f32 tensors) — see _layout_chunk's n_seg note
+        grad_segments = max(1, int(nbr.shape[0]) * int(nbr.shape[1])
+                            // 8_000_000)
     y = _optimize_layout(jnp.asarray(y0), nbr, w, jax.random.PRNGKey(seed),
                          n_epochs=n_epochs, lr=lr, epoch_chunk=epoch_chunk,
-                         verbose=verbose)
+                         n_seg=grad_segments,
+                         checkpoint_dir=layout_checkpoint_dir,
+                         checkpoint_every=checkpoint_every, verbose=verbose)
     return np.asarray(y)
 
 

@@ -144,7 +144,10 @@ def main(argv=None) -> None:
     if params_cfg["device_cache"] and with_image and not multiproc:
         from ..data import DeviceDataset
         from ..train.fusion import log_train_epoch, make_fusion_train_epoch
-        device_dataset = DeviceDataset(train_records)
+        # the fast policy never touches masks — skip staging them (saves
+        # ~25 % of the one-time upload and HBM footprint)
+        device_dataset = DeviceDataset(
+            train_records, with_masks=not params_cfg["augment_fast"])
         fused_epoch = make_fusion_train_epoch(model, optimizer,
                                               transform=train_tf)
         print(f"device_cache: {len(device_dataset)} crops staged in HBM "

@@ -163,7 +163,12 @@ class DeviceDataset:
     """
 
     def __init__(self, records: DermRecords, upload_batch: int = 256,
-                 device=None):
+                 device=None, with_masks: bool = True):
+        """with_masks=False skips staging the lesion masks entirely — the
+        fusion train step never consumes them (``train.fusion.BATCH_KEYS``),
+        so with a mask-free transform (``augment_fast``) this saves ~25 % of
+        the one-time upload and HBM footprint.  Mask-consuming transforms
+        (the faithful policies, MAE) need ``with_masks=True``."""
         import jax
         self.records = records
         dev = device or jax.devices()[0]
@@ -171,7 +176,8 @@ class DeviceDataset:
         helper = DeviceLoader(records, upload_batch)
         for host_batch in helper._host_batches():
             img_chunks.append(jax.device_put(host_batch["image"], dev))
-            mask_chunks.append(jax.device_put(host_batch["mask"], dev))
+            if with_masks:
+                mask_chunks.append(jax.device_put(host_batch["mask"], dev))
         import jax.numpy as jnp
         self.images = jnp.concatenate(img_chunks) if img_chunks else None
         self.masks = jnp.concatenate(mask_chunks) if mask_chunks else None
@@ -204,7 +210,8 @@ class DeviceDataset:
             batch = {k: jnp.take(v, idx_d, axis=0)
                      for k, v in self.meta.items()}
             images = jnp.take(self.images, idx_d, axis=0)
-            masks = jnp.take(self.masks, idx_d, axis=0)
+            masks = (jnp.take(self.masks, idx_d, axis=0)
+                     if self.masks is not None else None)
             if transform is not None:
                 if rng_stream is not None:
                     images, masks = transform(images, masks, rng_stream.next())

@@ -121,7 +121,7 @@ def make_fusion_train_epoch(model: MultiModalFusionNet, optimizer: Optimizer,
             idx, ka, kd = xs
             batch = {k: jnp.take(v, idx, axis=0) for k, v in meta.items()}
             img = jnp.take(images, idx, axis=0)
-            msk = jnp.take(masks, idx, axis=0)
+            msk = jnp.take(masks, idx, axis=0) if masks is not None else None
             if transform is not None:
                 img, msk = transform(img, msk, ka)
             batch["image"] = img

@@ -107,7 +107,12 @@ emb = cached("embed_20d",
              lambda: neighbor_embedding(x, n_components=20, n_neighbors=K,
                                         n_epochs=EPOCHS, seed=0,
                                         precomputed_knn=(nbr, dist),
-                                        epoch_chunk=10, verbose=True))
+                                        epoch_chunk=int(os.environ.get(
+                                            "EMB_CHUNK", 5)),
+                                        layout_checkpoint_dir=CACHE,
+                                        checkpoint_every=int(os.environ.get(
+                                            "EMB_CKPT_EVERY", 25)),
+                                        verbose=True))
 
 # trustworthiness on a sample (the full N² statistic is out of reach for any
 # implementation; the reference's cuML call computes it on its GPU table)

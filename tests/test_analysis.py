@@ -389,6 +389,54 @@ def test_encoder_bf16_latents_match_fp32_moments():
                                atol=0.05 * np.abs(b32.pooled_mean).max())
 
 
+def test_layout_segmented_gradients_match(rng):
+    """n_seg>1 (the bounded-HBM rematerialized loss for reference-scale
+    graphs) changes only float summation order vs the unsegmented loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_isic_tpu.analysis.embed import _layout_chunk
+
+    x = rng.randn(67, 5).astype(np.float32)
+    nbr = np.argsort(((x[:, None] - x[None]) ** 2).sum(-1), axis=1)[:, 1:6]
+    w = np.full_like(nbr, 0.5, dtype=np.float32)
+    y0 = jnp.asarray(rng.randn(67, 2).astype(np.float32) * 0.1)
+    carry = (y0, jnp.zeros_like(y0), jnp.zeros_like(y0), jnp.float32(0.0))
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    one = _layout_chunk(carry, keys, jnp.asarray(nbr), jnp.asarray(w),
+                        n_seg=1)[0]
+    seg = _layout_chunk(carry, keys, jnp.asarray(nbr), jnp.asarray(w),
+                        n_seg=3)[0]
+    np.testing.assert_allclose(np.asarray(one), np.asarray(seg), atol=2e-5)
+
+
+def test_layout_checkpoint_resume(rng, tmp_path):
+    """A layout interrupted after its carry checkpoint resumes to the SAME
+    result as an uninterrupted run (identical epoch-key stream)."""
+    import jax.numpy as jnp
+
+    from multimodal_isic_tpu.analysis.embed import _optimize_layout
+
+    x = rng.randn(50, 4).astype(np.float32)
+    nbr = np.argsort(((x[:, None] - x[None]) ** 2).sum(-1), axis=1)[:, 1:5]
+    w = np.full_like(nbr, 0.5, dtype=np.float32)
+    y0 = jnp.asarray(rng.randn(50, 2).astype(np.float32) * 0.1)
+    import jax
+    key = jax.random.PRNGKey(1)
+    full = _optimize_layout(y0, jnp.asarray(nbr), jnp.asarray(w), key,
+                            n_epochs=12, epoch_chunk=3)
+    ckdir = str(tmp_path)
+    # "crashed" run: checkpoint every 6 epochs, stop after 9
+    _optimize_layout(y0, jnp.asarray(nbr), jnp.asarray(w), key, n_epochs=12,
+                     epoch_chunk=3, checkpoint_dir=ckdir, checkpoint_every=6)
+    import os
+    assert os.path.exists(os.path.join(ckdir, "layout_carry.npz"))
+    resumed = _optimize_layout(y0, jnp.asarray(nbr), jnp.asarray(w), key,
+                               n_epochs=12, epoch_chunk=3,
+                               checkpoint_dir=ckdir, checkpoint_every=6)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))
+
+
 def test_layout_epoch_chunking_bit_identical(rng):
     """Chunked layout dispatches (the r5 fix for the 2M single-program TPU
     worker crash) reproduce the single-chunk scan bit-for-bit: the Adam
