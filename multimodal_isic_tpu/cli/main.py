@@ -30,6 +30,10 @@ from ..train.fusion import (
 from ..utils.logging import RunLogger
 from .common import parse_config
 
+# eval-side image size for the FUSED validation epoch (the policies bake
+# 380² in; tests monkeypatch this alongside their small policies)
+FUSED_EVAL_HW = (380, 380)
+
 
 def main(argv=None) -> None:
     # Multi-process mode (ISIC_COORDINATOR/... env or TPU-pod auto-detect):
@@ -141,17 +145,28 @@ def main(argv=None) -> None:
     # scripts/train_from_disk_bench.py / BENCH_DISK.json).  Multi-process
     # runs keep the streaming loader (batches shard host-side).
     device_dataset, fused_epoch = None, None
+    val_device, fused_val = None, None
     if params_cfg["device_cache"] and with_image and not multiproc:
         from ..data import DeviceDataset
-        from ..train.fusion import log_train_epoch, make_fusion_train_epoch
+        from ..train.fusion import (log_train_epoch, make_fusion_eval_epoch,
+                                    make_fusion_train_epoch,
+                                    padded_epoch_order)
         # the fast policy never touches masks — skip staging them (saves
         # ~25 % of the one-time upload and HBM footprint)
         device_dataset = DeviceDataset(
             train_records, with_masks=not params_cfg["augment_fast"])
         fused_epoch = make_fusion_train_epoch(model, optimizer,
                                               transform=train_tf)
-        print(f"device_cache: {len(device_dataset)} crops staged in HBM "
-              f"({device_dataset.images.nbytes / 1e9:.2f} GB)")
+        # validation epochs fuse too: without this each epoch re-streams
+        # the val split over the ~25-40 MB/s link, costing more than the
+        # fused train epoch (masks never consumed → not staged)
+        val_device = DeviceDataset(records(df_val, radiomics, val_idx),
+                                   with_masks=False)
+        fused_val = make_fusion_eval_epoch(model, out_hw=FUSED_EVAL_HW)
+        val_order, val_valid = padded_epoch_order(len(val_device), GLOBAL_BS)
+        print(f"device_cache: {len(device_dataset)} train + "
+              f"{len(val_device)} val crops staged in HBM "
+              f"({(device_dataset.images.nbytes + val_device.images.nbytes) / 1e9:.2f} GB)")
     for epoch in range(1, params_cfg["epochs"] + 1):
         order = np.random.RandomState(seed + epoch).permutation(len(df_train))
         if multiproc:  # same permutation everywhere; each host its sub-rows
@@ -173,9 +188,20 @@ def main(argv=None) -> None:
             state, batch_stats, _, _ = train_epoch(
                 train_step, state, batch_stats, train_loader, pool["dropout"],
                 logger=logger, epoch=epoch)
-        val_loss = validate_epoch(eval_step, state.params, batch_stats,
-                                  val_loader, logger=logger, epoch=epoch,
-                                  n_true=val_n, group_size=GLOBAL_BS)
+        if fused_val is not None:
+            vloss, vcorr = fused_val(state.params, batch_stats,
+                                     val_device.images, val_device.meta,
+                                     val_order, val_valid)
+            val_loss, val_acc = float(vloss), int(vcorr) / len(val_device)
+            if logger:  # same lines as validate_epoch (net_utils.py:34)
+                logger.log("val/epoch_loss", val_loss, step=epoch)
+                logger.log("val/epoch_acc", val_acc, step=epoch)
+                logger.print(f"Epoch {epoch} - Val Loss: {val_loss:.4f}, "
+                             f"Accuracy: {val_acc:.4f}")
+        else:
+            val_loss = validate_epoch(eval_step, state.params, batch_stats,
+                                      val_loader, logger=logger, epoch=epoch,
+                                      n_true=val_n, group_size=GLOBAL_BS)
         if early_stopping(val_loss, (state.params, batch_stats)):
             print(f"Early stopping at epoch {epoch}")
             break

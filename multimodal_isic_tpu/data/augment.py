@@ -515,7 +515,7 @@ def make_fusion_train_fast(out_hw: Tuple[int, int] = (380, 380),
     wp = -(-(ow + 2 * pad) // 128) * 128
     hp = -(-(oh + 2 * pad) // 8) * 8
     band_x = min(384, wp)
-    band_y = min(56, hp)
+    band_y = min(64, hp)
     draw = _ft.partial(_ssr_draw, shift_limit=0.05, scale_limit=0.1,
                        rotate_limit=15.0, p=0.5)
 

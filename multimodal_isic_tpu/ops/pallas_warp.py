@@ -38,12 +38,19 @@ bf16; weight rounding contributes ≲0.4 % ≈ 1 intensity unit) and the
 matmul accumulates in f32.  ``compute_dtype=float32`` gives ~1e-3-exact
 values for the equivalence tests.
 
-Validity domain (static band sizes, checked by ``affine_warp_batch``):
-|i11| ≤ (BX−128−3)/127 (2.0 at the default BX=384) and
-|i21| ≤ (BY−8−3)/127 (0.35 at the default BY=56) — the fusion policy's
-ShiftScaleRotate limits (±15°, scale ±0.1 ⇒ |i21| ≤ 0.29, |i11| ≤ 1.17)
-sit inside with margin.  Forward-only by design: augmentation is never
-differentiated (like the serving kernels in ``fused_dwconv.py``).
+Validity domain (static band sizes; the band covers a whole 8×128 output
+tile): |i11|·127 + |i12|·7 ≤ BX−128−3 (|i11| ≤ 1.93 at the default
+BX=384) and |i21|·127 + |i22|·7 ≤ BY−8−3 (|i21| ≤ 0.35 at the default
+BY=64 with |i22| ≤ 1.1) — the fusion policy's ShiftScaleRotate limits
+(±15°, scale ±0.1 ⇒ |i21| ≤ 0.29, |i11| ≤ 1.17) sit inside with margin.
+Forward-only by design: augmentation is never differentiated (like the
+serving kernels in ``fused_dwconv.py``).
+
+Mosaic compile note (r5, found by the real-TPU drive): the first version
+unrolled (row × column-block) Python loops of dynamically-sliced loads —
+24 bodies/step — which Mosaic could not compile in 15 min.  This layout
+compiles in seconds: one grid step per output tile, one shared source
+band, all 8 rows' tent weights packed as a [BX, 8·128] matmul operand.
 
 Matches the reference's albumentations ShiftScaleRotate resampling
 (reference ``main.py:76-87`` train pipeline); the semantics themselves are
@@ -78,9 +85,10 @@ def mirror_pad(imgs: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 
 def _warp_kernel(inv_ref, src_ref, out_ref, *, row_block, band_y, band_x,
-                 n_sub, pad, compute_dtype):
+                 pad, compute_dtype):
     b = pl.program_id(0)
     rb = pl.program_id(1)
+    sb = pl.program_id(2)
     i11 = inv_ref[b, 0]
     i12 = inv_ref[b, 1]
     i13 = inv_ref[b, 2] + pad
@@ -89,45 +97,61 @@ def _warp_kernel(inv_ref, src_ref, out_ref, *, row_block, band_y, band_x,
     i23 = inv_ref[b, 5] + pad
 
     c_dim, hp, wp = src_ref.shape[1], src_ref.shape[2], src_ref.shape[3]
-    iota_x = jax.lax.broadcasted_iota(jnp.float32, (band_x, 128), 0)
-    iota_y = jax.lax.broadcasted_iota(jnp.float32, (band_y, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.float32, (1, 128), 1)
+    cols = row_block * 128
+    # fused (row, lane) axis: column l of the weight operands is output
+    # pixel (y = r0 + l>>7, x = x0 + (l&127)) — all row_block rows of the
+    # tile ride ONE matmul per channel (Mosaic's tpu.iota is integer-only)
+    l = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+    ox = (l & 127).astype(jnp.float32)
+    oy = (l >> 7).astype(jnp.float32)
+    iota_x = jax.lax.broadcasted_iota(
+        jnp.int32, (band_x, cols), 0).astype(jnp.float32)
+    iota_y = jax.lax.broadcasted_iota(
+        jnp.int32, (band_y, cols), 0).astype(jnp.float32)
 
-    for r_in in range(row_block):
-        r = (rb * row_block + r_in).astype(jnp.float32)
-        for sb in range(n_sub):
-            x0 = float(sb * 128)
-            # band starts from the block's corner coordinates (affine ⇒
-            # extrema at corners); aligned down so VMEM slices stay on
-            # (8, 128) tile boundaries
-            vx_a = i11 * x0 + i12 * r + i13
-            vx_b = i11 * (x0 + 127.0) + i12 * r + i13
-            vy_a = i21 * x0 + i22 * r + i23
-            vy_b = i21 * (x0 + 127.0) + i22 * r + i23
-            kx_raw = jnp.floor(jnp.minimum(vx_a, vx_b)).astype(jnp.int32) - 1
-            ky_raw = jnp.floor(jnp.minimum(vy_a, vy_b)).astype(jnp.int32) - 1
-            kx = jnp.clip((kx_raw // 128) * 128, 0, wp - band_x)
-            ky = jnp.clip((ky_raw // 8) * 8, 0, hp - band_y)
+    x0 = (sb * 128).astype(jnp.float32)
+    r0 = (rb * row_block).astype(jnp.float32)
+    # band start from the tile's corner coordinates (affine ⇒ extrema at
+    # corners), aligned down so the VMEM slice start stays on (8, 128)
+    # tile boundaries — pl.multiple_of makes the alignment provable
+    x1, y1 = x0 + 127.0, r0 + float(row_block - 1)
+    vx_c = jnp.minimum(jnp.minimum(i11 * x0 + i12 * r0, i11 * x1 + i12 * r0),
+                       jnp.minimum(i11 * x0 + i12 * y1, i11 * x1 + i12 * y1))
+    vy_c = jnp.minimum(jnp.minimum(i21 * x0 + i22 * r0, i21 * x1 + i22 * r0),
+                       jnp.minimum(i21 * x0 + i22 * y1, i21 * x1 + i22 * y1))
+    kx_raw = jnp.floor(vx_c + i13).astype(jnp.int32) - 1
+    ky_raw = jnp.floor(vy_c + i23).astype(jnp.int32) - 1
+    kx = pl.multiple_of(
+        jnp.clip((kx_raw // 128) * 128, 0, wp - band_x), 128)
+    ky = pl.multiple_of(
+        jnp.clip((ky_raw // 8) * 8, 0, hp - band_y), 8)
 
-            vx = i11 * (x0 + lane) + i12 * r + i13   # [1, 128] f32
-            vy = i21 * (x0 + lane) + i22 * r + i23
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(
-                kx.astype(jnp.float32) + iota_x - vx)).astype(compute_dtype)
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(
-                ky.astype(jnp.float32) + iota_y - vy))
+    vx = i11 * (x0 + ox) + i12 * (r0 + oy) + i13     # [1, cols] f32
+    vy = i21 * (x0 + ox) + i22 * (r0 + oy) + i23
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+        kx.astype(jnp.float32) + iota_x - vx)).astype(compute_dtype)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+        ky.astype(jnp.float32) + iota_y - vy))
 
-            for c in range(c_dim):
-                band = src_ref[0, c, pl.ds(ky, band_y), pl.ds(kx, band_x)]
-                t = jnp.dot(band, wx, preferred_element_type=jnp.float32)
-                out_ref[0, c, r_in, pl.ds(sb * 128, 128)] = jnp.sum(
-                    t * wy, axis=0)
+    # HIGHEST so f32 mode is genuinely f32 on the MXU (DEFAULT runs f32
+    # matmuls as bf16 passes ⇒ ~1-intensity error, bf16-grade); bf16 mode
+    # is unaffected
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    for c in range(c_dim):
+        band = src_ref[0, c, pl.ds(ky, band_y), pl.ds(kx, band_x)]
+        t = jnp.dot(band, wx, preferred_element_type=jnp.float32,
+                    precision=prec)
+        row = jnp.sum(t * wy, axis=0, keepdims=True)     # [1, cols]
+        for r_in in range(row_block):
+            out_ref[0, c, r_in, :] = row[0, r_in * 128:(r_in + 1) * 128]
 
 
 @functools.partial(jax.jit, static_argnames=(
     "out_hw", "pad", "band_y", "band_x", "row_block", "compute_dtype",
     "interpret"))
 def affine_warp_batch(imgs: jnp.ndarray, inv: jnp.ndarray,
-                      out_hw=(380, 380), pad: int = 128, band_y: int = 56,
+                      out_hw=(380, 380), pad: int = 128, band_y: int = 64,
                       band_x: int = 384, row_block: int = 8,
                       compute_dtype=jnp.bfloat16,
                       interpret: bool = False) -> jnp.ndarray:
@@ -154,13 +178,14 @@ def affine_warp_batch(imgs: jnp.ndarray, inv: jnp.ndarray,
 
     kernel = functools.partial(
         _warp_kernel, row_block=row_block, band_y=band_y, band_x=band_x,
-        n_sub=n_sub, pad=float(pad), compute_dtype=compute_dtype)
+        pad=float(pad), compute_dtype=compute_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bsz, ohp // row_block),
-        in_specs=[pl.BlockSpec((1, c, hp, wp), lambda b, rb, *_: (b, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, c, row_block, owp),
-                               lambda b, rb, *_: (b, 0, rb, 0)),
+        grid=(bsz, ohp // row_block, n_sub),
+        in_specs=[pl.BlockSpec((1, c, hp, wp),
+                               lambda b, rb, sb, *_: (b, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, c, row_block, 128),
+                               lambda b, rb, sb, *_: (b, 0, rb, sb)),
     )
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,

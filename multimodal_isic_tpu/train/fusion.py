@@ -151,6 +151,73 @@ def make_fusion_eval_step(model: MultiModalFusionNet):
     return step
 
 
+def make_fusion_eval_epoch(model: MultiModalFusionNet, out_hw=(380, 380)):
+    """One FULL validation epoch as a single jitted program over an
+    HBM-resident split: ``lax.scan`` of [gather batch → MXU resize +
+    normalize → eval forward → per-batch CE mean], one readback per epoch.
+
+    Companion to :func:`make_fusion_train_epoch` for the ``device_cache``
+    path — without it every epoch re-streams the val split over the
+    host→device link (~25-40 MB/s on this tunnel), which costs more than
+    the fused train epoch itself.  The returned statistic replicates
+    ``validate_epoch``'s single-process branch exactly: the epoch loss is
+    the UNWEIGHTED mean of per-batch CE means, with the final partial
+    batch's mean taken over its valid rows only (``valid`` masks the padded
+    slots), matching the reference's epoch statistic (``net_utils.py:34``).
+
+    Returned callable::
+
+        epoch(params, batch_stats, images, meta, order, valid)
+          images (N,H,W,C) uint8    HBM-resident staging crops
+          meta   dict of (N,...)    tabular columns incl. 'target'
+          order  (n_steps, B) i32   gather indices, final batch padded
+          valid  (n_steps, B) bool  False on padded slots
+          → (epoch_loss, n_correct)
+    """
+    from ..data import augment as _aug
+
+    @jax.jit
+    def epoch(params, batch_stats, images, meta, order, valid):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+
+        def body(carry, xs):
+            idx, vm = xs
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in meta.items()}
+            inputs = {k: batch[k] for k in BATCH_KEYS if k in batch}
+            inputs["image"] = _aug.preprocess_eval_batch(
+                jnp.take(images, idx, axis=0), out_hw)
+            logits = model.apply(variables, **inputs, train=False)
+            logp = jax.nn.log_softmax(logits)
+            per = -jnp.take_along_axis(logp, batch["target"][:, None],
+                                       axis=1)[:, 0]
+            vmf = vm.astype(per.dtype)
+            loss_b = (per * vmf).sum() / jnp.maximum(vmf.sum(), 1.0)
+            corr = jnp.sum((jnp.argmax(logits, axis=1) == batch["target"])
+                           & vm)
+            return carry, (loss_b, corr)
+
+        _, (losses, corrs) = jax.lax.scan(
+            body, 0, (order, valid))
+        return losses.mean(), corrs.sum()
+
+    return epoch
+
+
+def padded_epoch_order(n: int, batch_size: int):
+    """(order, valid) int32/bool [n_steps, batch_size] covering ALL n rows:
+    the final partial batch is padded with row 0 and masked False — the
+    eval-side counterpart of ``DeviceDataset.epoch_order``'s drop_last."""
+    n_steps = -(-n // batch_size)
+    order = np.zeros(n_steps * batch_size, np.int32)
+    order[:n] = np.arange(n, dtype=np.int32)
+    valid = np.zeros(n_steps * batch_size, bool)
+    valid[:n] = True
+    return (order.reshape(n_steps, batch_size),
+            valid.reshape(n_steps, batch_size))
+
+
 def train_epoch(step_fn, state, batch_stats, loader, rng_stream, logger=None,
                 epoch: int = 0):
     """One train epoch → (state, batch_stats, epoch_loss, epoch_acc)."""

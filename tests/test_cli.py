@@ -89,6 +89,7 @@ def test_fusion_main_cli_device_cache_fused_epoch(workspace, monkeypatch):
         stochastic=False)
     monkeypatch.setitem(augment.POLICIES, "fusion_train", small_train)
     monkeypatch.setitem(augment.POLICIES, "fusion_eval", small_eval)
+    monkeypatch.setattr(fusion_main, "FUSED_EVAL_HW", (64, 64))
 
     fusion_main.main(["--config_path", str(cfg2)])
     assert os.listdir(root / "models"), "best model persisted"
@@ -117,6 +118,7 @@ def test_fusion_main_cli_fast_augment(workspace, monkeypatch):
         stochastic=False)
     monkeypatch.setitem(augment.POLICIES, "fusion_train_fast", small_fast)
     monkeypatch.setitem(augment.POLICIES, "fusion_eval", small_eval)
+    monkeypatch.setattr(fusion_main, "FUSED_EVAL_HW", (64, 64))
 
     fusion_main.main(["--config_path", str(cfg3)])
     assert os.listdir(root / "models"), "best model persisted"

@@ -359,6 +359,48 @@ def test_fused_epoch_matches_per_step_loop(rng):
                                    rtol=2e-6, atol=2e-7)
 
 
+def test_fused_eval_epoch_matches_validate_epoch(rng):
+    """make_fusion_eval_epoch (one scanned program per val epoch) reproduces
+    validate_epoch's single-process statistic — the unweighted mean of
+    per-batch CE means with a genuine partial final batch — and its correct
+    count."""
+    from multimodal_isic_tpu.data.augment import preprocess_eval_batch
+    from multimodal_isic_tpu.train.fusion import (make_fusion_eval_epoch,
+                                                  make_fusion_eval_step,
+                                                  padded_epoch_order,
+                                                  validate_epoch)
+
+    n, bs = 11, 4  # 3 batches, final one partial (3 rows)
+    model = MultiModalFusionNet(modality=MODS, fusion_level="intermediate",
+                                fusion_strategy="concat", radiomics_dim=20)
+    meta = {k: jnp.asarray(v) for k, v in _batch(rng, n=n).items()}
+    images = jnp.asarray(rng.randint(0, 255, (n, 16, 16, 3)), jnp.uint8)
+    init_b = {k: np.asarray(v[:2]) for k, v in meta.items()}
+    params, batch_stats = init_fusion(model, jax.random.PRNGKey(0), init_b)
+
+    epoch_fn = make_fusion_eval_epoch(model, out_hw=(8, 8))
+    order, valid = padded_epoch_order(n, bs)
+    assert valid[-1].sum() == 3 and (order[-1][3:] == 0).all()
+    loss_f, corr_f = epoch_fn(params, batch_stats, images, meta,
+                              jnp.asarray(order), jnp.asarray(valid))
+
+    step = make_fusion_eval_step(model)
+    batches, correct = [], 0
+    for s in range(0, n, bs):
+        idx = np.arange(s, min(s + bs, n))
+        b = {k: jnp.asarray(np.asarray(v)[idx]) for k, v in meta.items()}
+        b["image"] = preprocess_eval_batch(images[jnp.asarray(idx)], (8, 8))
+        batches.append(b)
+    val_loss = validate_epoch(step, params, batch_stats, batches)
+    for b in batches:
+        _, logits = step(params, batch_stats, b)
+        correct += int(jnp.sum(jnp.argmax(logits, 1) == b["target"]))
+
+    assert np.allclose(float(loss_f), val_loss, rtol=1e-5), (
+        float(loss_f), val_loss)
+    assert int(corr_f) == correct
+
+
 def test_device_dataset_epoch_order():
     """epoch_order reshapes a shuffle into (n_steps, B) and drops the tail."""
     from multimodal_isic_tpu.data.pipeline import DeviceDataset
